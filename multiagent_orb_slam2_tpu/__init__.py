@@ -1,0 +1,24 @@
+"""TPU-native multi-agent visual SLAM engine.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of
+``andresenwc/MultiAgent_ORB_SLAM2`` (ORB-SLAM2 + centralized multi-agent map
+fusion).  The reference is thread-per-subsystem C++ over pointer graphs; this
+engine is built TPU-first instead:
+
+- map state is struct-of-arrays with fixed capacities + validity masks
+  (``mapstate.MapState``), so every map mutation is a pure jitted function;
+- the feature front end (pyramid / FAST / rBRIEF / stereo matching) is batched
+  array code with Pallas kernels on the hot paths (``ops``);
+- every ORB-matcher entry point reduces to masked candidate generation +
+  batched packed-Hamming argmin (``ops.hamming``, ``ops.matchers``);
+- nonlinear optimization (pose-only, local BA, global BA, Sim3 pose graph) is
+  a JAX Levenberg-Marquardt core with Schur-complement point marginalization
+  (``optim``);
+- multi-agent execution maps agents onto a leading batch axis and shards the
+  keyframe/point axes over a ``jax.sharding.Mesh`` (``parallel``).
+
+See SURVEY.md at the repo root for the full map from reference components to
+these modules.
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,169 @@
+"""Per-frame feature data: undistortion, stereo matching, RGB-D pseudo-stereo.
+
+TPU-first replacement for the reference Frame (src/Frame.cc, include/Frame.h).
+Differences by design:
+
+- the 64x48 feature grid (include/Frame.h:37-38, AssignFeaturesToGrid /
+  GetFeaturesInArea) does not exist here: radius queries are dense masked
+  comparisons over the fixed-capacity keypoint array — on TPU an [M, N]
+  compare-and-select is cheaper than pointer-chasing a grid;
+- stereo matching (reference ComputeStereoMatches src/Frame.cc:466-641: per-row
+  candidate tables + descriptor gate + SAD subpixel refine) becomes one masked
+  [N, N] Hamming argmin followed by a batched 1-D SAD correlation with
+  parabola subpixel refinement;
+- RGB-D pseudo-stereo (ComputeStereoFromRGBD src/Frame.cc:643) is a gather of
+  the depth map at keypoint positions.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SlamConfig
+from ..geometry import camera as cam_mod
+from . import hamming, orb
+
+
+class FrameFeatures(NamedTuple):
+    """Fixed-capacity per-frame features (replaces reference Frame's keypoint
+    vectors mvKeysUn/mvuRight/mvDepth, include/Frame.h:120-135)."""
+    xy: jnp.ndarray        # [N, 2] undistorted level-0 pixel coords
+    response: jnp.ndarray  # [N]
+    level: jnp.ndarray     # [N] int32
+    angle: jnp.ndarray     # [N]
+    desc: jnp.ndarray      # [N, 8] uint32
+    valid: jnp.ndarray     # [N] bool
+    u_right: jnp.ndarray   # [N] right-image x (< 0 if mono/no match)
+    depth: jnp.ndarray     # [N] depth in meters (< 0 if unknown)
+
+
+def from_keypoints(kp: orb.Keypoints, cfg: SlamConfig) -> FrameFeatures:
+    """Mono frame: undistort keypoints, no stereo columns."""
+    n = kp.xy.shape[0]
+    xy_und = cam_mod.undistort_points(cfg.camera, kp.xy)
+    neg = jnp.full((n,), -1.0)
+    return FrameFeatures(xy_und, kp.response, kp.level, kp.angle, kp.desc,
+                         kp.valid, neg, neg)
+
+
+def sad_subpixel_refine(left_img, right_img, xy_l, x_r, valid,
+                        win: int = 5, search: int = 5):
+    """Batched SAD subpixel disparity refinement (reference src/Frame.cc:540-620).
+
+    For each match, slide an (2*win+1)^2 window in the right image over
+    [x_r - search, x_r + search], take the SAD minimum, then fit a parabola
+    through the three SADs around the minimum for sub-pixel correction.
+    Returns refined right-x and a validity mask (correlation window in-bounds).
+    """
+    w = win
+    patch_l = orb.extract_patches(left_img, jnp.round(xy_l).astype(jnp.int32), w)
+    # right patches at all search offsets: [N, S, P, P]
+    offs = jnp.arange(-search, search + 1)
+
+    def patches_at(dx):
+        xy_r = jnp.stack([jnp.round(x_r).astype(jnp.int32) + dx,
+                          jnp.round(xy_l[:, 1]).astype(jnp.int32)], axis=-1)
+        return orb.extract_patches(right_img, xy_r, w)
+
+    pr = jnp.stack([patches_at(int(d)) for d in offs], axis=1)
+    sad = jnp.sum(jnp.abs(pr - patch_l[:, None]), axis=(-2, -1))  # [N, S]
+    best = jnp.argmin(sad, axis=-1)
+    ctr = jnp.clip(best, 1, 2 * search - 1)
+    s_m = jnp.take_along_axis(sad, (ctr - 1)[:, None], 1)[:, 0]
+    s_0 = jnp.take_along_axis(sad, ctr[:, None], 1)[:, 0]
+    s_p = jnp.take_along_axis(sad, (ctr + 1)[:, None], 1)[:, 0]
+    denom = jnp.maximum(s_m + s_p - 2 * s_0, 1e-6)
+    delta = jnp.clip(0.5 * (s_m - s_p) / denom, -1.0, 1.0)
+    x_refined = jnp.round(x_r) + (ctr - search).astype(jnp.float32) + delta
+    # reject if the parabola is degenerate (flat) or best hit the border
+    ok = valid & (jnp.abs(delta) <= 1.0) & (best > 0) & (best < 2 * search)
+    return x_refined, ok
+
+
+def compute_stereo_matches(left: FrameFeatures, kp_r: orb.Keypoints,
+                           left_img, right_img, cfg: SlamConfig) -> FrameFeatures:
+    """Match left keypoints against right keypoints along rectified rows and
+    fill u_right/depth (reference ComputeStereoMatches src/Frame.cc:466-641).
+    """
+    mcfg = cfg.matcher
+    ocfg = cfg.orb
+    cam = cfg.camera
+    scales = jnp.asarray(ocfg.scale_factors)
+
+    max_d = cam.bf / max(cam.baseline, 1e-6)  # minZ = baseline -> maxD = fx
+    min_d = 0.0
+
+    # [N_l, N_r] candidate mask: row band scaled by octave, disparity window
+    yl = left.xy[:, 1][:, None]
+    yr = kp_r.xy[None, :, 1]
+    r_band = 2.0 * scales[left.level][:, None]
+    row_ok = jnp.abs(yl - yr) <= r_band
+    disp = left.xy[:, 0][:, None] - kp_r.xy[None, :, 0]
+    disp_ok = (disp >= min_d - 2.0) & (disp <= max_d)
+    lvl_ok = jnp.abs(left.level[:, None] - kp_r.level[None, :]) <= 1
+    mask = row_ok & disp_ok & lvl_ok & left.valid[:, None] & kp_r.valid[None, :]
+
+    dist = hamming.hamming_matrix(left.desc, kp_r.desc)
+    th = (mcfg.th_high + mcfg.th_low) // 2
+    idx, best, _ = hamming.masked_argmin(dist, mask)
+    matched = best < th
+
+    x_r0 = kp_r.xy[idx, 0]
+    x_ref, ok = sad_subpixel_refine(left_img, right_img, left.xy, x_r0, matched)
+    disparity = left.xy[:, 0] - x_ref
+    good = ok & (disparity > 0.01) & (disparity < max_d)
+    u_right = jnp.where(good, x_ref, -1.0)
+    depth = jnp.where(good, cam.bf / jnp.maximum(disparity, 1e-6), -1.0)
+    return left._replace(u_right=u_right, depth=depth)
+
+
+def compute_stereo_from_rgbd(feats: FrameFeatures, depth_map,
+                             cfg: SlamConfig) -> FrameFeatures:
+    """Fill depth/u_right from a registered depth map (reference
+    ComputeStereoFromRGBD src/Frame.cc:643)."""
+    xi = jnp.clip(jnp.round(feats.xy[:, 0]).astype(jnp.int32), 0,
+                  depth_map.shape[1] - 1)
+    yi = jnp.clip(jnp.round(feats.xy[:, 1]).astype(jnp.int32), 0,
+                  depth_map.shape[0] - 1)
+    d = depth_map[yi, xi] * cfg.depth_map_factor
+    good = feats.valid & (d > 0)
+    u_right = jnp.where(good, feats.xy[:, 0] - cfg.camera.bf / jnp.maximum(d, 1e-6),
+                        -1.0)
+    return feats._replace(depth=jnp.where(good, d, -1.0), u_right=u_right)
+
+
+def features_in_area(feats: FrameFeatures, center_xy, radius,
+                     min_level=None, max_level=None):
+    """Dense mask replacement for Frame::GetFeaturesInArea (include/Frame.h:90).
+
+    center_xy [..., 2], radius [...] broadcastable; returns bool mask
+    [..., N] of keypoints within the square window (the reference also uses a
+    square grid window, not a disc).
+    """
+    cx = jnp.atleast_2d(center_xy)  # [M, 2]
+    r = jnp.broadcast_to(jnp.asarray(radius), (cx.shape[0],))
+    dx = jnp.abs(feats.xy[None, :, 0] - cx[:, None, 0])
+    dy = jnp.abs(feats.xy[None, :, 1] - cx[:, None, 1])
+    m = (dx < r[:, None]) & (dy < r[:, None]) & feats.valid[None, :]
+    if min_level is not None:
+        m &= feats.level[None, :] >= jnp.asarray(min_level)[..., None]
+    if max_level is not None:
+        m &= feats.level[None, :] <= jnp.asarray(max_level)[..., None]
+    return m
+
+
+def extract_frame(img, cfg: SlamConfig, right_img=None, depth_map=None
+                  ) -> FrameFeatures:
+    """Full frame construction (reference Frame ctors include/Frame.h:53-59):
+    ORB extraction (+ right image / depth map), undistortion, stereo fill."""
+    kp = orb.pad_keypoints(orb.extract(img, cfg.orb), cfg.caps.max_features)
+    feats = from_keypoints(kp, cfg)
+    if right_img is not None:
+        kp_r = orb.pad_keypoints(orb.extract(right_img, cfg.orb),
+                                 cfg.caps.max_features)
+        feats = compute_stereo_matches(feats, kp_r, img, right_img, cfg)
+    elif depth_map is not None:
+        feats = compute_stereo_from_rgbd(feats, depth_map, cfg)
+    return feats
