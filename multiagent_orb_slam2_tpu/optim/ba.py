@@ -1,0 +1,223 @@
+"""Bundle adjustment with explicit Schur-complement point marginalization.
+
+Replaces Optimizer::BundleAdjustment / GlobalBundleAdjustemnt [sic] /
+LocalBundleAdjustment (reference src/Optimizer.cc:41-239, :455-783), which
+build g2o graphs with marginalized point vertices (setMarginalized(true),
+src/Optimizer.cc:100) and run sparse-Cholesky LM.
+
+TPU formulation: observations are stored grouped by point, [P, M] with
+M = max observations per point — exactly the layout Schur reduction wants.
+One LM iteration is:
+
+  1. batched residuals + analytic Jacobians over all observations      (VPU)
+  2. point blocks Hpp [P,3,3] inverted in parallel (batched 3x3)       (VPU)
+  3. pose blocks + Schur cross terms W Hpp^-1 W^T scatter-added into a
+     dense block matrix S [K,6,K,6] via segment_sum over P-chunks      (MXU)
+  4. dense Cholesky solve of the reduced camera system                 (MXU)
+  5. point back-substitution, LM accept/reject with true robust cost
+
+No dynamic sparsity: fixed poses keep their observation contributions (they
+constrain points) but get identity rows in S, so their update is zero —
+the reference's setFixed semantics. The whole solver jits to one program;
+problem size is static (capacity-padded), validity is carried in masks.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry import se3
+from ..geometry.camera import Intrinsics
+from . import residuals as res
+
+
+class BAProblem(NamedTuple):
+    """Fixed-capacity BA problem, observations grouped by point."""
+    q: jnp.ndarray            # [K, 4] world-to-camera rotations
+    t: jnp.ndarray            # [K, 3]
+    pose_valid: jnp.ndarray   # [K] bool
+    pose_fixed: jnp.ndarray   # [K] bool (gauge anchors / boundary poses)
+    pw: jnp.ndarray           # [P, 3] world points
+    point_valid: jnp.ndarray  # [P] bool
+    obs_kf: jnp.ndarray       # [P, M] int32 observing pose index (-1 invalid)
+    obs_uvr: jnp.ndarray      # [P, M, 3] (u, v, u_right)
+    obs_inv_sigma2: jnp.ndarray  # [P, M]
+    obs_stereo: jnp.ndarray   # [P, M] bool
+    obs_mask: jnp.ndarray     # [P, M] bool
+
+
+class BAResult(NamedTuple):
+    q: jnp.ndarray
+    t: jnp.ndarray
+    pw: jnp.ndarray
+    cost: jnp.ndarray         # final robust cost
+    obs_chi2: jnp.ndarray     # [P, M] final per-observation chi2
+    n_iters: jnp.ndarray
+
+
+def _obs_terms(prob: BAProblem, q, t, pw, cam, delta2_m, delta2_s, use_huber):
+    """Residuals, Jacobians and IRLS weights for every observation slot."""
+    kf = jnp.clip(prob.obs_kf, 0, q.shape[0] - 1)
+    qk = q[kf]                              # [P, M, 4]
+    tk = t[kf]
+    pw_b = jnp.broadcast_to(pw[:, None, :], prob.obs_uvr.shape)
+    r, pc = res.project_residual(cam, qk, tk, pw_b, prob.obs_uvr,
+                                 prob.obs_stereo)
+    Jc, Jp, _ = res.jacobians(cam, qk, tk, pw_b, prob.obs_stereo)
+    chi2 = jnp.sum(r * r, axis=-1) * prob.obs_inv_sigma2
+    delta2 = jnp.where(prob.obs_stereo, delta2_s, delta2_m)
+    active = (prob.obs_mask & (prob.obs_kf >= 0)
+              & prob.point_valid[:, None] & (pc[..., 2] > 0.01))
+    if use_huber:
+        w_rob = res.huber_weight(chi2, delta2)
+        delta = jnp.sqrt(delta2)
+        rho = jnp.where(chi2 <= delta2, chi2,
+                        2.0 * delta * jnp.sqrt(jnp.maximum(chi2, 1e-12)) - delta2)
+    else:
+        w_rob = jnp.ones_like(chi2)
+        rho = chi2
+    w = prob.obs_inv_sigma2 * w_rob * active
+    cost = jnp.sum(rho * active)
+    return r, Jc, Jp, w, chi2, cost
+
+
+def _cost_only(prob, q, t, pw, cam, delta2_m, delta2_s, use_huber):
+    _, _, _, _, _, cost = _obs_terms(prob, q, t, pw, cam, delta2_m, delta2_s,
+                                     use_huber)
+    return cost
+
+
+def _build_and_solve(prob: BAProblem, q, t, pw, cam, lam, delta2_m, delta2_s,
+                     use_huber, chunk: int):
+    """One damped normal-equation build + Schur solve. Returns (dq/dt, dpw)."""
+    K = q.shape[0]
+    P, M = prob.obs_kf.shape
+    r, Jc, Jp, w, chi2, cost0 = _obs_terms(prob, q, t, pw, cam, delta2_m,
+                                           delta2_s, use_huber)
+
+    # --- per-point blocks -------------------------------------------------
+    Hpp = jnp.einsum("pmij,pmik,pm->pjk", Jp, Jp, w)        # [P, 3, 3]
+    bp = -jnp.einsum("pmij,pmi,pm->pj", Jp, r, w)           # [P, 3]
+    diag = jnp.diagonal(Hpp, axis1=-2, axis2=-1)
+    Hpp_d = Hpp.at[..., jnp.arange(3), jnp.arange(3)].add(lam * diag + 1e-8)
+    Hpp_inv = jnp.linalg.inv(Hpp_d)
+
+    # --- per-pose diagonal blocks ----------------------------------------
+    kf_flat = jnp.where(prob.obs_kf >= 0, prob.obs_kf, K).reshape(-1)
+    Hcc_terms = jnp.einsum("pmij,pmik,pm->pmjk", Jc, Jc, w).reshape(-1, 6, 6)
+    bc_terms = -jnp.einsum("pmij,pmi,pm->pmj", Jc, r, w).reshape(-1, 6)
+    Hcc = jax.ops.segment_sum(Hcc_terms, kf_flat, num_segments=K + 1)[:K]
+    bc = jax.ops.segment_sum(bc_terms, kf_flat, num_segments=K + 1)[:K]
+
+    # --- Schur cross terms, chunked over points ---------------------------
+    Wb = jnp.einsum("pmij,pmik,pm->pmjk", Jc, Jp, w)        # [P, M, 6, 3]
+    Y = jnp.einsum("pmjk,pkl->pmjl", Wb, Hpp_inv)           # [P, M, 6, 3]
+
+    n_chunks = max(P // chunk, 1)
+    Wb_c = Wb.reshape(n_chunks, -1, M, 6, 3)
+    Y_c = Y.reshape(n_chunks, -1, M, 6, 3)
+    bp_c = bp.reshape(n_chunks, -1, 3)
+    kf_c = jnp.where(prob.obs_kf >= 0, prob.obs_kf, K).reshape(n_chunks, -1, M)
+
+    def chunk_body(carry, inp):
+        S_acc, rhs_acc = carry
+        Wb_i, Y_i, bp_i, kf_i = inp
+        # S block contributions: Y[m1] @ Wb[m2]^T  -> block (kf[m1], kf[m2])
+        contrib = jnp.einsum("pajk,pblk->pabjl", Y_i, Wb_i)  # [p, M, M, 6, 6]
+        invalid = (kf_i[:, :, None] >= K) | (kf_i[:, None, :] >= K)
+        idx = kf_i[:, :, None] * (K + 1) + kf_i[:, None, :]
+        idx = jnp.where(invalid, (K + 1) * (K + 1), idx).reshape(-1)
+        S_acc = S_acc + jax.ops.segment_sum(
+            contrib.reshape(-1, 6, 6), idx,
+            num_segments=(K + 1) * (K + 1) + 1)[:(K + 1) * (K + 1)]
+        # rhs contributions: Y[m] @ bp -> pose kf[m]
+        rhs_contrib = jnp.einsum("pajk,pk->paj", Y_i, bp_i).reshape(-1, 6)
+        rhs_acc = rhs_acc + jax.ops.segment_sum(
+            rhs_contrib, kf_i.reshape(-1), num_segments=K + 1)
+        return (S_acc, rhs_acc), None
+
+    S0 = jnp.zeros(((K + 1) * (K + 1), 6, 6))
+    rhs0 = jnp.zeros((K + 1, 6))
+    (S_flat, rhs_p), _ = jax.lax.scan(chunk_body, (S0, rhs0),
+                                      (Wb_c, Y_c, bp_c, kf_c))
+
+    S_blocks = S_flat.reshape(K + 1, K + 1, 6, 6)[:K, :K]
+    S = -S_blocks
+    S = S.at[jnp.arange(K), jnp.arange(K)].add(Hcc)
+    # LM damping on the pose-block diagonal entries
+    hcc_diag = jnp.diagonal(Hcc, axis1=-2, axis2=-1)          # [K, 6]
+    S = S.at[jnp.arange(K)[:, None], jnp.arange(K)[:, None],
+             jnp.arange(6)[None, :], jnp.arange(6)[None, :]].add(
+                 lam * hcc_diag + 1e-8)
+    rhs = bc - rhs_p[:K]
+
+    # --- fixed / invalid poses: identity rows, zero rhs -------------------
+    free = prob.pose_valid & ~prob.pose_fixed                 # [K]
+    S = jnp.where(free[:, None, None, None] & free[None, :, None, None], S, 0.0)
+    S = S.at[jnp.arange(K), jnp.arange(K)].add(
+        jnp.where(free, 0.0, 1.0)[:, None, None] * jnp.eye(6))
+    rhs = jnp.where(free[:, None], rhs, 0.0)
+
+    # --- dense reduced solve ---------------------------------------------
+    S_dense = S.transpose(0, 2, 1, 3).reshape(6 * K, 6 * K)
+    dc = jax.scipy.linalg.cho_solve(
+        jax.scipy.linalg.cho_factor(S_dense + 1e-8 * jnp.eye(6 * K)),
+        rhs.reshape(-1)).reshape(K, 6)
+    dc = jnp.where(free[:, None], dc, 0.0)
+
+    # --- point back-substitution ------------------------------------------
+    kf_safe = jnp.clip(prob.obs_kf, 0, K - 1)
+    dc_obs = dc[kf_safe]                                      # [P, M, 6]
+    corr = jnp.einsum("pmjk,pmj->pk", Wb, dc_obs)             # [P, 3]
+    dp = jnp.einsum("pkl,pl->pk", Hpp_inv, bp - corr)
+    has_obs = jnp.any(prob.obs_mask & (prob.obs_kf >= 0), axis=-1)
+    dp = jnp.where((prob.point_valid & has_obs)[:, None], dp, 0.0)
+    return dc, dp, cost0, chi2
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cam", "n_iters", "use_huber", "chunk"))
+def ba_solve(prob: BAProblem, cam: Intrinsics, n_iters: int = 10,
+             use_huber: bool = True, chi2_mono: float = 5.991,
+             chi2_stereo: float = 7.815, chunk: int = 2048) -> BAResult:
+    """Levenberg-Marquardt BA (reference 10-iteration GBA / 5+10 local BA)."""
+
+    def body(_, carry):
+        q, t, pw, lam = carry
+        dc, dp, cost0, _ = _build_and_solve(prob, q, t, pw, cam, lam,
+                                            chi2_mono, chi2_stereo,
+                                            use_huber, chunk)
+        dq, dt = se3.se3_exp(dc)
+        q_new, t_new = se3.compose(dq, dt, q, t)
+        q_new = se3.quat_normalize(q_new)
+        pw_new = pw + dp
+        cost1 = _cost_only(prob, q_new, t_new, pw_new, cam, chi2_mono,
+                           chi2_stereo, use_huber)
+        accept = cost1 < cost0
+        q = jnp.where(accept, q_new, q)
+        t = jnp.where(accept, t_new, t)
+        pw = jnp.where(accept, pw_new, pw)
+        lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 5.0), 1e-8, 1e4)
+        return q, t, pw, lam
+
+    q, t, pw, _ = jax.lax.fori_loop(
+        0, n_iters, body,
+        (prob.q, prob.t, prob.pw, jnp.asarray(1e-4)))
+
+    # final per-observation chi2 (for outlier erasure, reference
+    # src/Optimizer.cc:718-740)
+    _, _, _, _, chi2, cost = _obs_terms(prob, q, t, pw, cam, chi2_mono,
+                                        chi2_stereo, use_huber)
+    return BAResult(q=q, t=t, pw=pw, cost=cost, obs_chi2=chi2,
+                    n_iters=jnp.asarray(n_iters))
+
+
+def outlier_mask(result: BAResult, prob: BAProblem,
+                 chi2_mono: float = 5.991, chi2_stereo: float = 7.815):
+    """Post-BA observation culling mask (reference erases edges with
+    chi2 > threshold or negative depth, src/Optimizer.cc:718-762)."""
+    th = jnp.where(prob.obs_stereo, chi2_stereo, chi2_mono)
+    return prob.obs_mask & (result.obs_chi2 <= th)
