@@ -129,6 +129,7 @@ class Capacities:
     max_points: int = 65536
     max_obs_per_point: int = 24
     max_features: int = 1024                # padded per-frame keypoint slots
+    local_points: int = 8192                # tracked local-map window slots
     max_agents: int = 4
 
 

@@ -107,6 +107,13 @@ def matrix_to_quat(R):
 # so(3) / se(3) exp & log
 # ---------------------------------------------------------------------------
 
+def safe_norm(x, axis=-1, keepdims=False):
+    """sqrt(sum(x^2) + tiny): smooth at 0 so jacfwd/jacrev of exp maps taken
+    at the identity (the LM linearization point) stay finite — plain
+    jnp.linalg.norm has a NaN derivative at 0."""
+    return jnp.sqrt(jnp.sum(x * x, axis=axis, keepdims=keepdims) + 1e-24)
+
+
 def _sinc(x):
     """sin(x)/x with Taylor fallback."""
     return jnp.where(jnp.abs(x) < 1e-4, 1.0 - x * x / 6.0, jnp.sin(x) / jnp.where(jnp.abs(x) < 1e-4, 1.0, x))
@@ -114,7 +121,7 @@ def _sinc(x):
 
 def so3_exp_quat(w):
     """Axis-angle vector [..., 3] -> unit quaternion."""
-    theta = jnp.linalg.norm(w, axis=-1, keepdims=True)
+    theta = safe_norm(w, keepdims=True)
     half = 0.5 * theta
     qw = jnp.cos(half)
     qv = w * 0.5 * _sinc(half[..., 0])[..., None]
@@ -147,7 +154,7 @@ def se3_exp(xi):
     Here: xi[..., :3] = translation part rho, xi[..., 3:] = rotation part phi.
     """
     rho, phi = xi[..., :3], xi[..., 3:]
-    theta = jnp.linalg.norm(phi, axis=-1, keepdims=True)
+    theta = safe_norm(phi, keepdims=True)
     q = so3_exp_quat(phi)
     # left Jacobian V of SO(3)
     Phi = hat(phi)

@@ -75,7 +75,7 @@ def _W_matrix(phi, sigma):
     W = A * I + B * Phi + C * Phi^2 with scale-coupled coefficients.
     """
     eps = 1e-6
-    theta = jnp.linalg.norm(phi, axis=-1)
+    theta = se3.safe_norm(phi)
     Phi = se3.hat(phi)
     Phi2 = Phi @ Phi
     s = jnp.exp(sigma)

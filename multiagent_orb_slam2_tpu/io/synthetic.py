@@ -20,18 +20,33 @@ DEFAULT_CAM = Intrinsics(fx=450.0, fy=450.0, cx=320.0, cy=240.0, bf=45.0,
 
 
 def make_texture(seed: int = 0, size: int = 1024) -> np.ndarray:
-    """High-contrast texture: sharp random blocks + medium-scale noise.
+    """High-contrast, locally unique texture.
 
-    Sharp block edges give FAST corners at many scales; the fine layer breaks
-    ambiguity between identical-looking cells.
+    Sharp random blocks at three scales give FAST corners across pyramid
+    levels; mixing scales (32/16/8 px) plus a smooth large-scale ramp makes
+    neighbouring block corners visually distinct — a single-scale block grid
+    is adversarially self-similar and produces aliased matches that drag
+    robust pose estimation (observed failure mode in early testing).
     """
     rng = np.random.default_rng(seed)
-    coarse = rng.uniform(20, 235, size=(size // 16, size // 16))
-    tex = np.kron(coarse, np.ones((16, 16)))
-    med = np.kron(rng.uniform(-18, 18, size=(size // 4, size // 4)),
-                  np.ones((4, 4)))
+
+    def blocks(px, lo, hi):
+        g = rng.uniform(lo, hi, size=(size // px, size // px))
+        return np.kron(g, np.ones((px, px)))
+
+    tex = (blocks(32, 0, 150) * 0.9
+           + blocks(16, 0, 110)
+           + blocks(8, -35, 35))
+    # smooth large-scale ramp (bilinear upsample of a coarse grid)
+    coarse = rng.uniform(-50, 50, size=(9, 9))
+    yy = np.linspace(0, 8, size)
+    y0 = np.clip(yy.astype(int), 0, 7)
+    fy = yy - y0
+    ramp_rows = (coarse[y0] * (1 - fy)[:, None] + coarse[y0 + 1] * fy[:, None])
+    ramp = (ramp_rows[:, y0] * (1 - fy)[None, :]
+            + ramp_rows[:, y0 + 1] * fy[None, :])
     fine = rng.uniform(-6, 6, size=(size, size))
-    return np.clip(tex + med + fine, 0, 255).astype(np.float32)
+    return np.clip(tex + ramp + fine + 20, 0, 255).astype(np.float32)
 
 
 class BoxScene:

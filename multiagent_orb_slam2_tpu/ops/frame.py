@@ -112,9 +112,13 @@ def compute_stereo_matches(left: FrameFeatures, kp_r: orb.Keypoints,
 
     x_r0 = kp_r.xy[idx, 0]
     x_ref, ok = sad_subpixel_refine(left_img, right_img, left.xy, x_r0, matched)
-    disparity = left.xy[:, 0] - x_ref
+    # disparity is measured between the patch-aligned integer left column and
+    # the refined right column (both patches are gathered at integer grid
+    # positions, so using the fractional left x here would inject +-0.5 px
+    # of quantization noise into the disparity)
+    disparity = jnp.round(left.xy[:, 0]) - x_ref
     good = ok & (disparity > 0.01) & (disparity < max_d)
-    u_right = jnp.where(good, x_ref, -1.0)
+    u_right = jnp.where(good, left.xy[:, 0] - disparity, -1.0)
     depth = jnp.where(good, cam.bf / jnp.maximum(disparity, 1e-6), -1.0)
     return left._replace(u_right=u_right, depth=depth)
 

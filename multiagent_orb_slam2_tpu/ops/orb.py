@@ -73,7 +73,9 @@ def brief_pattern(n_bits: int = 256, radius: int = 13, seed: int = 42):
     sigma = radius / 2.0
     pts = rng.normal(0.0, sigma, size=(n_bits, 4))
     pts = np.clip(pts, -radius, radius)
-    return jnp.asarray(pts, dtype=jnp.float32)
+    # cached values must be numpy, not jnp: an lru_cache first populated
+    # inside a jit trace would otherwise capture (and leak) a tracer
+    return np.asarray(pts, dtype=np.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -84,7 +86,7 @@ def brief_pattern(n_bits: int = 256, radius: int = 13, seed: int = 42):
 def _gauss_kernel7(sigma: float = 2.0):
     x = np.arange(7) - 3
     k = np.exp(-0.5 * (x / sigma) ** 2)
-    return jnp.asarray(k / k.sum(), dtype=jnp.float32)
+    return np.asarray(k / k.sum(), dtype=np.float32)  # numpy: see brief_pattern
 
 
 def gaussian_blur7(img):
@@ -232,9 +234,9 @@ def _circular_mask(patch: int, radius: int):
     c = patch // 2
     y, x = np.mgrid[:patch, :patch]
     m = ((y - c) ** 2 + (x - c) ** 2) <= radius ** 2
-    return (jnp.asarray(m, dtype=jnp.float32),
-            jnp.asarray(x - c, dtype=jnp.float32),
-            jnp.asarray(y - c, dtype=jnp.float32))
+    return (np.asarray(m, dtype=np.float32),     # numpy: see brief_pattern
+            np.asarray(x - c, dtype=np.float32),
+            np.asarray(y - c, dtype=np.float32))
 
 
 def ic_angle(patches, radius: int):

@@ -1,0 +1,452 @@
+"""Loop closing: detection, Sim3 estimation, loop correction, global BA.
+
+Replaces the reference LoopClosing thread (src/LoopClosing.cc): DetectLoop
+(:126-252, BoW candidates + consistency groups >= 3), ComputeSim3 (:254-423,
+descriptor matches >= 20 -> Sim3 RANSAC -> OptimizeSim3 >= 20 -> projection
+matches >= 40), CorrectLoop (:425-606, Sim3 propagation over the covisibility
+neighborhood, point correction, duplicate fusion, essential-graph
+optimization) and RunGlobalBundleAdjustment (:666-780).
+
+Host/device split: candidate bookkeeping (consistency groups) is small host
+logic; matching, RANSAC, Sim3 refinement, pose-graph and GBA are jitted
+steps over MapState arrays.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SlamConfig, Sensor
+from ..geometry import horn, se3, sim3
+from ..mapstate import state as ms
+from ..ops import hamming, matchers
+from ..optim import ba as ba_mod
+from ..optim import pose_graph as pg
+from ..optim import sim3_opt
+from ..vocab import bow as bow_mod
+from ..vocab import kfdb as kfdb_mod
+from . import mapping, steps
+
+NONE = ms.NONE
+
+
+@dataclasses.dataclass
+class LoopCandidateState:
+    """Host-side covisibility-consistency bookkeeping
+    (reference mvConsistentGroups, src/LoopClosing.cc:180-245)."""
+    groups: list          # list of (set_of_kf_slots, consistency_count)
+
+
+@dataclasses.dataclass
+class Sim3Match:
+    kf_query: int
+    kf_match: int
+    s: float              # S_qm: maps match-KF camera coords -> query camera
+    q: np.ndarray
+    t: np.ndarray
+    point_ids: np.ndarray  # matched map point slots (of the match side)
+    n_matches: int
+
+
+class LoopCloser:
+    """Per-agent loop closing (one per System). The multi-agent server reuses
+    detect/compute_sim3 against its global database."""
+
+    def __init__(self, cfg: SlamConfig, vocab: bow_mod.Vocabulary):
+        self.cfg = cfg
+        self.vocab = vocab
+        self.db = kfdb_mod.empty_database(cfg.caps.max_keyframes, vocab)
+        self.consistency = LoopCandidateState(groups=[])
+        self.last_loop_kf = -1e9
+        self.loop_edges: list = []   # persisted (i, j) loop pairs
+
+    # -- detection ---------------------------------------------------------
+
+    def process_keyframe(self, shared, kf_slot: int) -> Optional[Sim3Match]:
+        """Detect + verify a loop for a freshly inserted keyframe. Adds the
+        KF to the database either way (reference adds after the query,
+        src/LoopClosing.cc:121,249). Returns a verified Sim3Match or None."""
+        st = shared.state
+        desc = st.kf_desc[kf_slot]
+        valid = st.kf_feat_valid[kf_slot]
+        self.db, words, vec = kfdb_mod.add_keyframe(self.db, self.vocab,
+                                                    kf_slot, desc, valid)
+        if kf_slot - self.last_loop_kf < self.cfg.loop.refractory_kfs \
+                or shared.n_kf < self.cfg.loop.refractory_kfs:
+            return None
+
+        cand = self._detect(shared, kf_slot, words, valid, vec)
+        if not cand:
+            return None
+        for c in cand:
+            m = self.compute_sim3(shared, kf_slot, c)
+            if m is not None:
+                return m
+        return None
+
+    def _detect(self, shared, kf_slot, words, valid, vec):
+        st = shared.state
+        covis_row = st.covis[kf_slot]
+        # minScore = lowest BoW similarity to direct covisibles
+        # (src/LoopClosing.cc:153-173)
+        neigh = np.nonzero(np.asarray(covis_row) >= 15)[0]
+        if len(neigh):
+            scores = np.asarray(bow_mod.l1_score(vec, self.db.bow[
+                jnp.asarray(neigh)]))
+            min_score = float(max(scores.min(), 1e-3))
+        else:
+            min_score = 1e-3
+        # exclude self from the database query (it was just added)
+        db = kfdb_mod.erase_keyframe(self.db, kf_slot)
+        cand_mask, _ = kfdb_mod.detect_loop_candidates(
+            db, self.vocab, words, valid, vec, covis_row, kf_slot,
+            st.covis, min_score)
+        cands = np.nonzero(np.asarray(cand_mask))[0].tolist()
+        if not cands:
+            self.consistency.groups = []
+            return []
+        return self._consistency_filter(shared, cands)
+
+    def _consistency_filter(self, shared, cands):
+        """Covisibility-consistency groups (src/LoopClosing.cc:180-245)."""
+        st = shared.state
+        covis = np.asarray(st.covis)
+        th = self.cfg.loop.consistency_th
+        new_groups = []
+        enough = []
+        for c in cands:
+            group = set(np.nonzero(covis[c] > 0)[0].tolist()) | {c}
+            best = 0
+            for (g, count) in self.consistency.groups:
+                if group & g:
+                    best = max(best, count + 1)
+            new_groups.append((group, best))
+            if best >= th:
+                enough.append(c)
+        self.consistency.groups = new_groups
+        return enough
+
+    # -- Sim3 verification (ComputeSim3, also used by MapFusion) -----------
+
+    def compute_sim3(self, shared, kf_q: int, kf_m: int
+                     ) -> Optional[Sim3Match]:
+        cfg = self.cfg
+        st = shared.state
+        fix_scale = cfg.sensor != Sensor.MONOCULAR
+
+        # 1. descriptor matches between the two KFs' map points
+        res = matchers.match_brute(
+            st.kf_desc[kf_q],
+            (st.kf_mp[kf_q] >= 0) & st.kf_feat_valid[kf_q],
+            st.kf_desc[kf_m],
+            (st.kf_mp[kf_m] >= 0) & st.kf_feat_valid[kf_m],
+            th=cfg.matcher.th_low, nn_ratio=0.75)
+        n = int(jnp.sum(res.ok))
+        if n < cfg.loop.min_bow_matches:
+            return None
+
+        # matched pairs: query feature i <-> match feature res.best_feat[i]
+        F = st.kf_mp.shape[1]
+        P = st.mp_pos.shape[0]
+        qi = np.asarray(res.ok)
+        fq = np.arange(F)[qi]
+        fm = np.asarray(res.best_feat)[qi]
+        mp_q = np.asarray(st.kf_mp[kf_q])[fq]
+        mp_m = np.asarray(st.kf_mp[kf_m])[fm]
+        good = (mp_q >= 0) & (mp_m >= 0)
+        fq, fm, mp_q, mp_m = fq[good], fm[good], mp_q[good], mp_m[good]
+        npairs = len(fq)
+        if npairs < cfg.loop.min_bow_matches:
+            return None
+
+        # camera-frame coordinates of both point sets
+        pw_q = st.mp_pos[jnp.asarray(mp_q)]
+        pw_m = st.mp_pos[jnp.asarray(mp_m)]
+        pc_q = se3.apply(st.kf_q[kf_q], st.kf_t[kf_q], pw_q)
+        pc_m = se3.apply(st.kf_q[kf_m], st.kf_t[kf_m], pw_m)
+        uv_q = st.kf_xy[kf_q][jnp.asarray(fq)]
+        uv_m = st.kf_xy[kf_m][jnp.asarray(fm)]
+        sf = jnp.asarray(cfg.orb.scale_factors)
+        s2_q = sf[st.kf_level[kf_q][jnp.asarray(fq)]] ** 2
+        s2_m = sf[st.kf_level[kf_m][jnp.asarray(fm)]] ** 2
+
+        # 2. Sim3 RANSAC (S maps match-cam coords -> query-cam coords:
+        # horn(p1=pc_m, p2=pc_q))
+        rr = horn.sim3_ransac(pc_m, pc_q, uv_m, uv_q, s2_m, s2_q,
+                              jnp.ones(npairs, bool), cfg.camera,
+                              jax.random.PRNGKey(kf_q * 1000 + kf_m),
+                              n_iters=cfg.loop.sim3_ransac_iters,
+                              min_inliers=cfg.loop.sim3_ransac_min_inliers,
+                              fix_scale=fix_scale)
+        if not bool(rr.ok):
+            return None
+
+        # 3. refine (S12 convention of optimize_sim3: x1 in query cam frame,
+        # x2 in match cam frame, S12 maps x2 -> x1)
+        opt = sim3_opt.optimize_sim3(
+            rr.s, rr.q, rr.t, pc_q, pc_m, uv_q, uv_m,
+            1.0 / s2_q, 1.0 / s2_m, rr.inliers, cfg.camera,
+            fix_scale=fix_scale)
+        if int(opt.n_inliers) < cfg.loop.sim3_opt_min_inliers:
+            return None
+
+        # 4. guided projection of the match-side neighborhood points into the
+        # query frame; total matches >= 40 (src/MapFusion.cc:396)
+        neigh_mask = ms.covis_neighbors_mask(st, kf_m, 1).at[kf_m].set(True)
+        obs_sel = jnp.where(neigh_mask[:, None], st.kf_mp, NONE)
+        cand_mask = jnp.zeros((P + 1,), bool).at[
+            jnp.where(obs_sel >= 0, obs_sel, P).reshape(-1)].set(True)[:P]
+        cand_mask &= st.mp_valid
+        ids = jnp.nonzero(cand_mask, size=cfg.caps.local_points,
+                          fill_value=P)[0]
+        # corrected query pose: Scw = S_qm * Tmw (match world -> query cam)
+        s_c, q_c, t_c = sim3.compose(
+            opt.s, opt.q, opt.t, *sim3.from_se3(st.kf_q[kf_m], st.kf_t[kf_m]))
+        total = self._count_projection_matches(st, kf_q, ids, s_c, q_c, t_c)
+        if total < cfg.loop.min_total_matches:
+            return None
+
+        self.last_loop_kf = kf_q
+        return Sim3Match(kf_query=kf_q, kf_match=kf_m, s=float(opt.s),
+                         q=np.asarray(opt.q), t=np.asarray(opt.t),
+                         point_ids=np.asarray(ids), n_matches=int(total))
+
+    def _count_projection_matches(self, st, kf_q, ids, s_c, q_c, t_c):
+        """SearchByProjection of world points through a Sim3 camera pose
+        (src/ORBmatcher.cc:292), count matches (incl. existing)."""
+        cfg = self.cfg
+        P = st.mp_pos.shape[0]
+        ids_c = jnp.clip(ids, 0, P - 1)
+        valid = (ids < P) & st.mp_valid[ids_c]
+        pw = st.mp_pos[ids_c]
+        pc = sim3.apply(s_c, q_c, t_c, pw)
+        z = pc[..., 2]
+        uv = jnp.stack([cfg.camera.fx * pc[..., 0] / jnp.maximum(z, 1e-6)
+                        + cfg.camera.cx,
+                        cfg.camera.fy * pc[..., 1] / jnp.maximum(z, 1e-6)
+                        + cfg.camera.cy], -1)
+        vis = (z > 0.05) & (uv[:, 0] >= 0) & (uv[:, 0] < cfg.camera.width) \
+            & (uv[:, 1] >= 0) & (uv[:, 1] < cfg.camera.height)
+        from ..ops.frame import FrameFeatures
+        feats = FrameFeatures(
+            xy=st.kf_xy[kf_q], response=None, level=st.kf_level[kf_q],
+            angle=st.kf_angle[kf_q], desc=st.kf_desc[kf_q],
+            valid=st.kf_feat_valid[kf_q], u_right=st.kf_right[kf_q],
+            depth=st.kf_depth[kf_q])
+        res = matchers.match_window(feats, st.mp_desc[ids_c], valid & vis, uv,
+                                    radius=8.0, th=cfg.matcher.th_high)
+        return int(jnp.sum(res.ok))
+
+    # -- correction (CorrectLoop) -----------------------------------------
+
+    def correct_loop(self, shared, match: Sim3Match, run_gba: bool = True):
+        """Apply a verified loop: Sim3-correct the query neighborhood, fuse
+        duplicate points, optimize the essential graph, optionally run GBA.
+        (reference src/LoopClosing.cc:425-606 + :666-780)."""
+        cfg = self.cfg
+        st = shared.state
+        kf_q, kf_m = match.kf_query, match.kf_match
+        fix_scale = cfg.sensor != Sensor.MONOCULAR
+
+        st = correct_neighborhood(st, kf_q, match.s, jnp.asarray(match.q),
+                                  jnp.asarray(match.t), cfg)
+        shared.state = st
+
+        # fuse the matched map points into the corrected neighborhood
+        ids = jnp.asarray(match.point_ids)
+        neigh = np.nonzero(np.asarray(
+            ms.covis_neighbors_mask(st, kf_q, 1).at[kf_q].set(True)))[0]
+        for n in neigh[:15]:
+            shared.state = mapping.fuse_into_kf(shared.state, ids, int(n), cfg)
+        shared.state = mapping.rebuild_observations(shared.state)
+        shared.state = steps.recompute_covisibility(shared.state)
+
+        # essential graph
+        self.loop_edges.append((kf_q, kf_m))
+        edges = build_essential_edges(shared.state, self.loop_edges, cfg)
+        st = shared.state
+        s0 = jnp.ones(st.kf_q.shape[0])
+        res = pg.optimize_pose_graph(
+            s0, st.kf_q, st.kf_t, st.kf_valid,
+            st.kf_fixed_origin | (jnp.arange(len(s0)) == kf_m),
+            edges, fix_scale=fix_scale,
+            n_iters=cfg.optimizer.essential_graph_iters)
+        shared.state = apply_pose_graph_result(st, res, cfg)
+
+        if run_gba:
+            shared.state = global_bundle_adjustment(shared.state, cfg)
+        return shared.state
+
+
+# ---------------------------------------------------------------------------
+# jitted helpers (shared with MapFusion)
+# ---------------------------------------------------------------------------
+
+def correct_neighborhood(st: ms.MapState, kf_q: int, s, q, t,
+                         cfg: SlamConfig):
+    """Sim3-propagate the loop correction over kf_q's covisibility
+    neighborhood and their map points (src/LoopClosing.cc:462-535).
+
+    (s, q, t) = S_qm * T_mw ... passed here as the corrected Sim3 world->query
+    relation: corrected pose of kf_q is Scw = S * T_old_qw^-1 ... —
+    concretely: corrected_T_iw = T_i_q * S_corrected for each neighbor i,
+    where T_i_q is the old relative pose.
+    """
+    K = st.kf_q.shape[0]
+    P = st.mp_pos.shape[0]
+    neigh = ms.covis_neighbors_mask(st, kf_q, 1).at[kf_q].set(True)
+    neigh &= st.kf_valid
+
+    # corrected Sim3 of the query: S_qw = S_qm_corrected (world -> query cam)
+    # as Sim3; old query pose:
+    q_old, t_old = st.kf_q[kf_q], st.kf_t[kf_q]
+    s_corr, q_corr, t_corr = s, q, t
+
+    # relative pose of each neighbor w.r.t. the query: T_iq = T_iw * T_qw^-1
+    qi_rel, ti_rel = se3.relative(st.kf_q, st.kf_t, q_old, t_old)
+    # corrected neighbor Sim3: S_iw = T_iq * S_qw
+    s_i, q_i, t_i = sim3.compose(jnp.ones(K), qi_rel, ti_rel,
+                                 jnp.broadcast_to(s_corr, (K,)),
+                                 jnp.broadcast_to(q_corr, (K, 4)),
+                                 jnp.broadcast_to(t_corr, (K, 3)))
+    # SE3 recovery: divide translation by scale
+    q_new, t_new = sim3.to_se3(s_i, q_i, t_i)
+
+    # map points observed by the neighborhood: correct via their ref KF
+    # P_new = S_new_wi^-1 (S_old_iw (P))  with i = first observing neighbor
+    obs_sel = jnp.where(neigh[:, None], st.kf_mp, NONE)
+    pmask = jnp.zeros((P + 1,), bool).at[
+        jnp.where(obs_sel >= 0, obs_sel, P).reshape(-1)].set(True)[:P]
+    pmask &= st.mp_valid
+    # use each point's first observation inside the neighborhood as anchor
+    K_, F, _, O = st.caps
+    obs_kf = st.mp_obs_kf
+    in_neigh = (obs_kf >= 0) & neigh[jnp.clip(obs_kf, 0, K - 1)]
+    anchor_slot = jnp.argmax(in_neigh, axis=-1)
+    has_anchor = jnp.any(in_neigh, axis=-1)
+    anchor = jnp.take_along_axis(obs_kf, anchor_slot[:, None], 1)[:, 0]
+    anchor = jnp.clip(anchor, 0, K - 1)
+
+    pc = se3.apply(st.kf_q[anchor], st.kf_t[anchor], st.mp_pos)  # old cam
+    si_a, qi_a, ti_a = sim3.inverse(s_i[anchor], q_i[anchor], t_i[anchor])
+    p_new = sim3.apply(si_a, qi_a, ti_a, pc)
+    upd = pmask & has_anchor
+    mp_pos = jnp.where(upd[:, None], p_new, st.mp_pos)
+
+    return st._replace(
+        kf_q=jnp.where(neigh[:, None], q_new, st.kf_q),
+        kf_t=jnp.where(neigh[:, None], t_new, st.kf_t),
+        mp_pos=mp_pos)
+
+
+def build_essential_edges(st: ms.MapState, loop_edges, cfg: SlamConfig,
+                          max_edges: int = 8192) -> pg.PoseGraphEdges:
+    """Edge set of the essential graph (src/Optimizer.cc:850-930): spanning
+    tree + stored loop edges + strong covisibility (>= strong_covis_min_feat).
+    Measurements from current estimates."""
+    K = st.kf_q.shape[0]
+    covis = np.asarray(st.covis)
+    valid = np.asarray(st.kf_valid)
+    parent = np.asarray(st.kf_parent)
+
+    ei, ej = [], []
+    # spanning tree
+    for k in range(K):
+        if valid[k] and parent[k] >= 0 and valid[parent[k]]:
+            ei.append(parent[k])
+            ej.append(k)
+    # strong covisibility (upper triangle, dedup vs spanning tree is
+    # harmless: duplicate edges only double-weight an already-consistent
+    # constraint)
+    th = cfg.optimizer.strong_covis_min_feat
+    ii, jj = np.nonzero(np.triu(covis, 1) >= th)
+    for a, b in zip(ii.tolist(), jj.tolist()):
+        if valid[a] and valid[b]:
+            ei.append(a)
+            ej.append(b)
+    for (a, b) in loop_edges:
+        ei.append(a)
+        ej.append(b)
+
+    E = max_edges
+    n = min(len(ei), E)
+    i_arr = np.full(E, 0, np.int32)
+    j_arr = np.full(E, 0, np.int32)
+    v_arr = np.zeros(E, bool)
+    i_arr[:n] = ei[:n]
+    j_arr[:n] = ej[:n]
+    v_arr[:n] = True
+
+    i_j = jnp.asarray(i_arr)
+    j_j = jnp.asarray(j_arr)
+    s_i = jnp.ones(E)
+    sm, qm, tm = pg.make_edge_measurements(
+        s_i, st.kf_q[i_j], st.kf_t[i_j], s_i, st.kf_q[j_j], st.kf_t[j_j])
+    return pg.PoseGraphEdges(i=i_j, j=j_j, s=sm, q=qm, t=tm,
+                             valid=jnp.asarray(v_arr))
+
+
+def apply_pose_graph_result(st: ms.MapState, res: pg.PoseGraphResult,
+                            cfg: SlamConfig):
+    """Write corrected poses back and re-map points via their reference KFs
+    (src/Optimizer.cc:988-1045)."""
+    K = st.kf_q.shape[0]
+    P = st.mp_pos.shape[0]
+    q_new, t_new = sim3.to_se3(res.s, res.q, res.t)
+    q_new = se3.quat_normalize(q_new)
+
+    # point correction through the first observing keyframe
+    obs_kf = st.mp_obs_kf
+    anchor = jnp.clip(obs_kf[:, 0], 0, K - 1)
+    has = obs_kf[:, 0] >= 0
+    pc = se3.apply(st.kf_q[anchor], st.kf_t[anchor], st.mp_pos)
+    # new world position: inverse Sim3 of the anchor's corrected pose
+    si, qi, ti = sim3.inverse(res.s[anchor], res.q[anchor], res.t[anchor])
+    p_new = sim3.apply(si, qi, ti, pc)
+    upd = st.mp_valid & has
+    return st._replace(
+        kf_q=jnp.where(st.kf_valid[:, None], q_new, st.kf_q),
+        kf_t=jnp.where(st.kf_valid[:, None], t_new, st.kf_t),
+        mp_pos=jnp.where(upd[:, None], p_new, st.mp_pos))
+
+
+def global_bundle_adjustment(st: ms.MapState, cfg: SlamConfig,
+                             n_iters: int = None):
+    """Full-map BA (GlobalBundleAdjustemnt [sic] src/Optimizer.cc:41-83 +
+    the correction application of src/LoopClosing.cc:666-780, done in place
+    since phases are synchronous here)."""
+    n_iters = n_iters or cfg.optimizer.global_ba_iters
+    K, F, P, O = st.caps
+    obs_kf = st.mp_obs_kf
+    obs_feat = jnp.clip(st.mp_obs_feat, 0, F - 1)
+    kf_c = jnp.clip(obs_kf, 0, K - 1)
+    uv = st.kf_xy[kf_c, obs_feat]
+    ur = st.kf_right[kf_c, obs_feat]
+    level = st.kf_level[kf_c, obs_feat]
+    sf = jnp.asarray(cfg.orb.scale_factors)
+    obs_mask = (obs_kf >= 0) & st.mp_valid[:, None] & st.kf_valid[kf_c]
+
+    prob = ba_mod.BAProblem(
+        q=st.kf_q, t=st.kf_t,
+        pose_valid=st.kf_valid,
+        pose_fixed=st.kf_fixed_origin,
+        pw=st.mp_pos,
+        point_valid=st.mp_valid,
+        obs_kf=jnp.where(obs_mask, obs_kf, NONE),
+        obs_uvr=jnp.concatenate([uv, ur[..., None]], -1),
+        obs_inv_sigma2=1.0 / sf[level] ** 2,
+        obs_stereo=ur >= 0,
+        obs_mask=obs_mask,
+    )
+    res = ba_mod.ba_solve(prob, cfg.camera, n_iters=n_iters, use_huber=True,
+                          chunk=steps._ba_chunk(P))
+    return st._replace(
+        kf_q=jnp.where((st.kf_valid & ~st.kf_fixed_origin)[:, None], res.q,
+                       st.kf_q),
+        kf_t=jnp.where((st.kf_valid & ~st.kf_fixed_origin)[:, None], res.t,
+                       st.kf_t),
+        mp_pos=jnp.where(st.mp_valid[:, None], res.pw, st.mp_pos))

@@ -1,0 +1,212 @@
+"""Local-mapping hygiene: point culling, duplicate fusion, observation rebuild.
+
+Replaces LocalMapping::MapPointCulling (reference src/LocalMapping.cc:176-211),
+SearchInNeighbors (:460-540) with ORBmatcher::Fuse (src/ORBmatcher.cc:827),
+and MapPoint::Replace (src/MapPoint.cc:181). Without this stage the map
+accumulates near-duplicate points per keyframe and local-map tracking degrades
+(observed directly in early integration testing).
+
+Array formulation notes:
+- point merges are expressed as a rewrite table map_to[P]; the forward map
+  kf_mp is rewired by one gather, and the inverse observation lists are then
+  rebuilt from scratch (`rebuild_observations`) — guaranteed-consistent, and
+  a full rebuild is one sort+scatter over [K*F] entries, cheap at KF rate;
+- merge chains (a->b->c in one pass) resolve over successive keyframes, like
+  the reference's one-pass SearchInNeighbors.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SlamConfig
+from ..geometry import se3
+from ..mapstate import state as ms
+from ..ops import hamming, matchers
+from . import steps
+
+NONE = ms.NONE
+
+
+@functools.partial(jax.jit)
+def rebuild_observations(state: ms.MapState):
+    """Reconstruct mp_obs_kf/mp_obs_feat from the forward map kf_mp.
+
+    The forward map is the source of truth after fusion/culling edits.
+    """
+    K, F, P, O = state.caps
+    flat_mp = state.kf_mp.reshape(-1)                     # [K*F]
+    kf_ids = jnp.repeat(jnp.arange(K, dtype=jnp.int32), F)
+    ft_ids = jnp.tile(jnp.arange(F, dtype=jnp.int32), K)
+    ok = (flat_mp >= 0) & state.kf_valid[kf_ids] \
+        & state.kf_feat_valid.reshape(-1)
+    key = jnp.where(ok, flat_mp, P)
+    order = jnp.argsort(key, stable=True)
+    s_mp = key[order]
+    pos = jnp.arange(K * F)
+    is_new = jnp.concatenate([jnp.array([True]), s_mp[1:] != s_mp[:-1]])
+    seg_start = jax.lax.associative_scan(jnp.maximum,
+                                         jnp.where(is_new, pos, 0))
+    rank = pos - seg_start
+    keep = (s_mp < P) & (rank < O)
+    row = jnp.where(keep, s_mp, P)
+    col = jnp.where(keep, rank, 0)
+    obs_kf = jnp.full((P + 1, O), NONE, jnp.int32).at[row, col].set(
+        kf_ids[order], mode="drop")[:P]
+    obs_ft = jnp.full((P + 1, O), NONE, jnp.int32).at[row, col].set(
+        ft_ids[order], mode="drop")[:P]
+    return state._replace(mp_obs_kf=obs_kf, mp_obs_feat=obs_ft)
+
+
+def _apply_point_rewrite(state: ms.MapState, map_to):
+    """Rewire kf_mp through map_to [P] (identity for untouched points) and
+    invalidate merged-away points."""
+    K, F, P, O = state.caps
+    lut = jnp.concatenate([map_to, jnp.array([NONE], jnp.int32)])
+    kf_mp = jnp.where(state.kf_mp >= 0, lut[jnp.clip(state.kf_mp, 0, P)],
+                      NONE)
+    merged_away = map_to != jnp.arange(P, dtype=jnp.int32)
+    return state._replace(
+        kf_mp=kf_mp,
+        mp_valid=state.mp_valid & ~merged_away)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def fuse_into_kf(state: ms.MapState, point_ids, target_kf, cfg: SlamConfig):
+    """Project candidate points into target_kf and fuse duplicates
+    (ORBmatcher::Fuse, src/ORBmatcher.cc:827): window-match each projected
+    point against the keyframe's features; a hit on a feature that already
+    observes another point merges the two (the point with more observations
+    wins, MapPoint::Replace); a hit on a free feature adds an association.
+
+    Returns the updated state. point_ids: [Q] int32 (P = padding).
+    """
+    K, F, P, O = state.caps
+    ids_c = jnp.clip(point_ids, 0, P - 1)
+    q_mask = (point_ids < P) & state.mp_valid[ids_c]
+    pw = state.mp_pos[ids_c]
+    q_kf = state.kf_q[target_kf]
+    t_kf = state.kf_t[target_kf]
+
+    uv, ur, depth, vis = matchers.project_points(cfg.camera, q_kf, t_kf, pw)
+    q_wc, t_wc = se3.inverse(q_kf, t_kf)
+    view = pw - t_wc
+    dist = jnp.linalg.norm(view, axis=-1)
+    band_ok = (dist >= 0.8 * state.mp_min_dist[ids_c]) \
+        & (dist <= 1.2 * state.mp_max_dist[ids_c])
+    view_cos = jnp.sum(view * state.mp_normal[ids_c], -1) / jnp.maximum(dist,
+                                                                        1e-9)
+    q_mask &= vis & band_ok & (view_cos > 0.5)
+
+    sf = jnp.asarray(cfg.orb.scale_factors)
+    pred_level = ms.predict_scale(dist, state.mp_max_dist[ids_c],
+                                  cfg.orb.scale_factor, cfg.orb.n_levels)
+    radius = 3.0 * sf[pred_level]
+
+    # target KF features as a pseudo-frame
+    from ..ops.frame import FrameFeatures
+    feats = FrameFeatures(
+        xy=state.kf_xy[target_kf], response=None,
+        level=state.kf_level[target_kf], angle=state.kf_angle[target_kf],
+        desc=state.kf_desc[target_kf], valid=state.kf_feat_valid[target_kf],
+        u_right=state.kf_right[target_kf], depth=state.kf_depth[target_kf])
+
+    res = matchers.match_window(feats, state.mp_desc[ids_c], q_mask, uv,
+                                radius, pred_ur=ur, pred_level=pred_level,
+                                th=cfg.matcher.th_low)
+    frame_assign, res = matchers.resolve_conflicts(res, F)
+    # frame_assign: [F] -> index into point_ids (query), -1 none
+    hit = frame_assign >= 0
+    pt = jnp.where(hit, point_ids[jnp.clip(frame_assign, 0, P - 1)], NONE)
+    pt = jnp.where(hit & (pt < P), pt, NONE)
+
+    existing = state.kf_mp[target_kf]                     # [F]
+    n_obs = state.mp_n_obs()
+
+    # case A: free feature -> new association
+    add = (pt >= 0) & (existing < 0)
+    kf_mp_row = jnp.where(add, pt, existing)
+
+    # case B: occupied feature with a different point -> merge
+    merge = (pt >= 0) & (existing >= 0) & (existing != pt)
+    a = jnp.clip(pt, 0, P - 1)
+    b = jnp.clip(existing, 0, P - 1)
+    a_wins = n_obs[a] >= n_obs[b]
+    winner = jnp.where(a_wins, a, b)
+    loser = jnp.where(a_wins, b, a)
+    kf_mp_row = jnp.where(merge, winner, kf_mp_row)
+
+    map_to = jnp.arange(P, dtype=jnp.int32)
+    map_to = map_to.at[jnp.where(merge, loser, P)].set(
+        jnp.where(merge, winner, 0), mode="drop")
+
+    state = state._replace(kf_mp=state.kf_mp.at[target_kf].set(kf_mp_row))
+    state = _apply_point_rewrite(state, map_to)
+    return state
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def cull_points_step(state: ms.MapState, newest_kf_slot, cfg: SlamConfig):
+    """MapPointCulling (src/LocalMapping.cc:176-211): drop points whose
+    found/visible ratio is below 0.25, and recent points (created within the
+    last 2 keyframes) that failed to accumulate observations.
+
+    Keyframe slots are allocated monotonically, so slot distance stands in
+    for the reference's keyframe-id arithmetic.
+    """
+    P = state.mp_pos.shape[0]
+    ratio = state.mp_found / jnp.maximum(state.mp_visible, 1.0)
+    age = newest_kf_slot - state.mp_first_kf           # in KF slots
+    n_obs = state.mp_n_obs()
+    bad = state.mp_valid & (
+        (ratio < cfg.mapping.mp_cull_found_ratio)
+        | ((age >= 2) & (age <= 3) & (n_obs <= cfg.mapping.mp_cull_min_obs)))
+    # rewire: culled points simply disappear from the forward map
+    K, F, _, O = state.caps
+    lut_bad = jnp.concatenate([bad, jnp.array([False])])
+    kf_mp = jnp.where(lut_bad[jnp.clip(state.kf_mp, 0, P)] & (state.kf_mp >= 0),
+                      NONE, state.kf_mp)
+    return state._replace(kf_mp=kf_mp, mp_valid=state.mp_valid & ~bad)
+
+
+def local_mapping_pass(state: ms.MapState, kf_slot: int, cfg: SlamConfig):
+    """The synchronous equivalent of one LocalMapping::Run iteration for a
+    freshly inserted keyframe (SURVEY.md §3.3): cull -> fuse with covisibility
+    neighbors (both directions) -> rebuild inverse obs -> refresh covis +
+    point attributes. Local BA follows separately (steps.local_ba_step).
+    """
+    K, F, P, O = state.caps
+    state = cull_points_step(state, kf_slot, cfg)
+
+    # top covisibility neighbors (reference: 10 for stereo, 20 mono)
+    nb = cfg.mapping.triangulation_neighbors
+    row = state.covis[kf_slot]
+    top_w, top_i = jax.lax.top_k(row, min(nb, K))
+    neighbors = [int(i) for i, w in zip(top_i.tolist(), top_w.tolist()) if w > 0]
+
+    # direction 1: new KF's points into each neighbor
+    own = state.kf_mp[kf_slot]
+    own_ids = jnp.where((own >= 0), own, P)
+    for n in neighbors:
+        state = fuse_into_kf(state, own_ids, n, cfg)
+
+    # direction 2: neighbors' points into the new KF
+    if neighbors:
+        cand = state.kf_mp[jnp.asarray(neighbors)]        # [NB, F]
+        cand_mask = jnp.zeros((P + 1,), bool).at[
+            jnp.where(cand >= 0, cand, P).reshape(-1)].set(True)[:P]
+        cand_mask &= state.mp_valid
+        ids = jnp.nonzero(cand_mask, size=cfg.caps.local_points,
+                          fill_value=P)[0]
+        state = fuse_into_kf(state, ids, kf_slot, cfg)
+
+    state = rebuild_observations(state)
+    state = steps.recompute_covisibility(state)
+    touched = jnp.zeros((P + 1,), bool).at[
+        jnp.where(own >= 0, own, P)].set(True)[:P]
+    state = ms.update_point_descriptors(state, touched)
+    state = ms.update_point_normals(state, touched, cfg.orb.scale_factor,
+                                    cfg.orb.n_levels)
+    return state

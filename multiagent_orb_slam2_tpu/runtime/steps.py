@@ -1,0 +1,386 @@
+"""Pure jitted pipeline steps shared by the tracker and local mapper.
+
+Each function is one phase of the reference pipeline re-expressed as a
+fixed-shape array program over MapState (see runtime/__init__ docstring).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SlamConfig
+from ..geometry import se3
+from ..mapstate import state as ms
+from ..ops import matchers
+from ..ops.frame import FrameFeatures
+from ..optim import ba as ba_mod
+from ..optim import pose_opt
+
+NONE = ms.NONE
+
+
+# ---------------------------------------------------------------------------
+# Initialization (stereo / RGB-D)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def stereo_init_step(state: ms.MapState, feats: FrameFeatures, frame_id,
+                     agent, map_id, kf_slot, mp_base, cfg: SlamConfig):
+    """First-keyframe bootstrap (Tracking::StereoInitialization,
+    src/Tracking.cc:520-574): identity pose, a map point for every feature
+    with valid depth. Returns (state, frame_mp, n_new_points)."""
+    K, F, P, O = state.caps
+    q0 = jnp.array([1.0, 0.0, 0.0, 0.0])
+    t0 = jnp.zeros(3)
+
+    new = feats.valid & (feats.depth > 0)
+    slots = mp_base + jnp.cumsum(new.astype(jnp.int32)) - 1
+    slots = jnp.where(new & (slots < P), slots, NONE)
+    ok = slots >= 0
+
+    # unproject at identity: pc == pw
+    from ..geometry import camera as cam_mod
+    pos = cam_mod.backproject(cfg.camera, feats.xy, feats.depth)
+    norm = jnp.maximum(jnp.linalg.norm(pos, axis=-1, keepdims=True), 1e-9)
+    normal = pos / norm
+    sf = jnp.asarray(cfg.orb.scale_factors)
+    dist = norm[:, 0]
+    max_d = dist * sf[feats.level]
+    min_d = max_d / sf[-1]
+
+    state = ms.add_points(state, slots, pos, feats.desc, normal, min_d, max_d,
+                          ref_kf=jnp.full((F,), kf_slot, jnp.int32),
+                          agent=jnp.full((F,), agent, jnp.int32),
+                          map_id=jnp.full((F,), map_id, jnp.int32), valid=ok)
+    frame_mp = jnp.where(ok, slots, NONE)
+    state = ms.insert_keyframe(state, kf_slot, feats, q0, t0, frame_id, agent,
+                               map_id, frame_mp, parent=NONE,
+                               fixed_origin=True)
+    return state, frame_mp, jnp.sum(ok.astype(jnp.int32))
+
+
+# ---------------------------------------------------------------------------
+# Per-frame tracking
+# ---------------------------------------------------------------------------
+
+class TrackResult(NamedTuple):
+    q: jnp.ndarray
+    t: jnp.ndarray
+    frame_mp: jnp.ndarray    # [F] point slot per feature (-1)
+    n_inliers: jnp.ndarray
+
+
+def _pose_obs_from_frame(state, feats, frame_mp, cfg):
+    K, F, P, O = state.caps
+    mp = jnp.clip(frame_mp, 0, P - 1)
+    mask = (frame_mp >= 0) & feats.valid
+    pw = state.mp_pos[mp]
+    inv_sigma2 = 1.0 / jnp.asarray(cfg.orb.scale_factors)[feats.level] ** 2
+    obs = jnp.concatenate([feats.xy, feats.u_right[:, None]], axis=-1)
+    return pose_opt.PoseObs(pw=pw, obs=obs, inv_sigma2=inv_sigma2,
+                            is_stereo=feats.u_right >= 0, mask=mask)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "radius_mult"))
+def track_motion_model_step(state: ms.MapState, feats: FrameFeatures,
+                            prev_feats: FrameFeatures, prev_frame_mp,
+                            q_pred, t_pred, cfg: SlamConfig,
+                            radius_mult: float = 1.0) -> TrackResult:
+    """Frame-to-frame tracking (TrackWithMotionModel, src/Tracking.cc:880-941
+    + SearchByProjection frame overload src/ORBmatcher.cc:1330):
+    project the previous frame's map points with the constant-velocity pose,
+    window-match, rotation-consistency filter, pose-only optimize."""
+    K, F, P, O = state.caps
+    th = 7.0 if cfg.sensor == 1 else 15.0  # reference: 7 stereo, 15 otherwise
+    mp = jnp.clip(prev_frame_mp, 0, P - 1)
+    qmask = (prev_frame_mp >= 0) & prev_feats.valid & state.mp_valid[mp]
+    pw = state.mp_pos[mp]
+    uv, ur, depth, vis = matchers.project_points(cfg.camera, q_pred, t_pred, pw)
+    sf = jnp.asarray(cfg.orb.scale_factors)
+    radius = radius_mult * th * sf[prev_feats.level]
+    res = matchers.match_window(feats, prev_feats.desc, qmask & vis, uv,
+                                radius, pred_ur=ur,
+                                pred_level=prev_feats.level,
+                                th=cfg.matcher.th_high)
+    res = matchers.rotation_consistency(prev_feats.angle, feats.angle, res,
+                                        cfg.matcher.histo_length)
+    frame_assign, res = matchers.resolve_conflicts(res, F)
+    frame_mp = jnp.where(frame_assign >= 0, prev_frame_mp[jnp.clip(
+        frame_assign, 0, F - 1)], NONE)
+
+    obs = _pose_obs_from_frame(state, feats, frame_mp, cfg)
+    q, t, inlier, n = pose_opt.pose_optimize(q_pred, t_pred, obs, cfg.camera,
+                                             cfg.optimizer)
+    frame_mp = jnp.where(inlier, frame_mp, NONE)
+    return TrackResult(q, t, frame_mp, n)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def track_reference_kf_step(state: ms.MapState, feats: FrameFeatures,
+                            ref_kf, q_init, t_init, cfg: SlamConfig
+                            ) -> TrackResult:
+    """Fallback: match against the reference keyframe's map points by
+    unconstrained descriptor matching with ratio test (TrackReferenceKeyFrame
+    src/Tracking.cc:770-812 + SearchByBoW src/ORBmatcher.cc:161 — see
+    matchers.match_brute for why the BoW-node restriction is dropped)."""
+    K, F, P, O = state.caps
+    kf_desc = state.kf_desc[ref_kf]
+    kf_mp = state.kf_mp[ref_kf]
+    qmask = (kf_mp >= 0) & state.kf_feat_valid[ref_kf] \
+        & state.mp_valid[jnp.clip(kf_mp, 0, P - 1)]
+    res = matchers.match_brute(kf_desc, qmask, feats.desc, feats.valid,
+                               th=cfg.matcher.th_low,
+                               nn_ratio=cfg.matcher.nn_ratio_bow)
+    res = matchers.rotation_consistency(state.kf_angle[ref_kf], feats.angle,
+                                        res, cfg.matcher.histo_length)
+    frame_assign, res = matchers.resolve_conflicts(res, F)
+    frame_mp = jnp.where(frame_assign >= 0,
+                         kf_mp[jnp.clip(frame_assign, 0, F - 1)], NONE)
+    obs = _pose_obs_from_frame(state, feats, frame_mp, cfg)
+    q, t, inlier, n = pose_opt.pose_optimize(q_init, t_init, obs, cfg.camera,
+                                             cfg.optimizer)
+    frame_mp = jnp.where(inlier, frame_mp, NONE)
+    return TrackResult(q, t, frame_mp, n)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def track_local_map_step(state: ms.MapState, feats: FrameFeatures, q, t,
+                         frame_mp, ref_kf, cfg: SlamConfig) -> TrackResult:
+    """Local-map tracking (TrackLocalMap src/Tracking.cc:943-987 +
+    SearchLocalPoints :1156 + SearchByProjection src/ORBmatcher.cc:45):
+    gather the points of the reference KF's covisibility neighborhood,
+    project into the frame, window-match by predicted scale & viewing angle,
+    then pose-only optimize over all associations."""
+    K, F, P, O = state.caps
+    LP = cfg.caps.local_points
+
+    # local KFs: covisibility neighbors of ref_kf + ref_kf itself
+    neigh = ms.covis_neighbors_mask(state, ref_kf, 1)
+    neigh = neigh.at[ref_kf].set(True)
+    # local points: observed by any local KF
+    obs_of_local = jnp.where(neigh[:, None], state.kf_mp, NONE)  # [K, F]
+    local_mask = jnp.zeros((P + 1,), bool).at[
+        jnp.where(obs_of_local >= 0, obs_of_local, P).reshape(-1)].set(True)[:P]
+    local_mask &= state.mp_valid
+    # exclude points already matched in this frame
+    already = jnp.zeros((P + 1,), bool).at[
+        jnp.where(frame_mp >= 0, frame_mp, P)].set(True)[:P]
+    cand_mask = local_mask & ~already
+
+    ids = jnp.nonzero(cand_mask, size=LP, fill_value=P)[0]
+    id_ok = ids < P
+    ids_c = jnp.clip(ids, 0, P - 1)
+    pw = state.mp_pos[ids_c]
+
+    uv, ur, depth, vis = matchers.project_points(cfg.camera, q, t, pw)
+    # frustum gates (Frame::isInFrustum include/Frame.h:85): distance band,
+    # viewing angle vs normal < 60 deg
+    q_wc, t_wc = se3.inverse(q, t)
+    view = pw - t_wc
+    dist = jnp.linalg.norm(view, axis=-1)
+    band_ok = (dist >= 0.8 * state.mp_min_dist[ids_c]) \
+        & (dist <= 1.2 * state.mp_max_dist[ids_c])
+    view_cos = jnp.sum(view * state.mp_normal[ids_c], axis=-1) \
+        / jnp.maximum(dist, 1e-9)
+    cos_ok = view_cos > 0.5
+    qmask = id_ok & vis & band_ok & cos_ok
+
+    sf = jnp.asarray(cfg.orb.scale_factors)
+    pred_level = ms.predict_scale(dist, state.mp_max_dist[ids_c],
+                                  cfg.orb.scale_factor, cfg.orb.n_levels)
+    radius = jnp.where(view_cos > 0.998, 2.5, 4.0) * sf[pred_level]
+
+    res = matchers.match_window(feats, state.mp_desc[ids_c], qmask, uv,
+                                radius, pred_ur=ur, pred_level=pred_level,
+                                th=cfg.matcher.th_high,
+                                nn_ratio=cfg.matcher.nn_ratio_tracking)
+    frame_assign, res = matchers.resolve_conflicts(res, F)
+    # merge: keep existing associations, add new ones where free
+    new_mp = jnp.where(frame_assign >= 0,
+                       ids[jnp.clip(frame_assign, 0, F - 1)], NONE)
+    frame_mp = jnp.where(frame_mp >= 0, frame_mp, new_mp)
+
+    obs = _pose_obs_from_frame(state, feats, frame_mp, cfg)
+    q2, t2, inlier, n = pose_opt.pose_optimize(q, t, obs, cfg.camera,
+                                               cfg.optimizer)
+    frame_mp = jnp.where(inlier, frame_mp, NONE)
+
+    # visibility / found counters (IncreaseVisible/IncreaseFound)
+    vis_ids = jnp.where(qmask, ids, P)
+    mp_visible = state.mp_visible.at[vis_ids].add(1.0, mode="drop")
+    found_ids = jnp.where(frame_mp >= 0, frame_mp, P)
+    mp_found = state.mp_found.at[found_ids].add(1.0, mode="drop")
+    # (counter updates returned via new state)
+    new_state = state._replace(mp_visible=mp_visible, mp_found=mp_found)
+    return TrackResult(q2, t2, frame_mp, n), new_state
+
+
+# ---------------------------------------------------------------------------
+# Keyframe creation
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def create_keyframe_step(state: ms.MapState, feats: FrameFeatures, q, t,
+                         frame_mp, frame_id, agent, map_id, kf_slot, mp_base,
+                         cfg: SlamConfig):
+    """Insert a keyframe + spawn stereo map points for close unmatched
+    features (CreateNewKeyFrame src/Tracking.cc:1076-1154: sorted by depth,
+    all closer than ThDepth, at least the closest 100)."""
+    K, F, P, O = state.caps
+    close = feats.valid & (feats.depth > 0) & (frame_mp < 0)
+    depth_ok = feats.depth < cfg.tracking.th_depth * cfg.camera.baseline
+    # rank features by depth; admit close ones, plus nearest 100 overall
+    order = jnp.argsort(jnp.where(close, feats.depth, jnp.inf))
+    rank = jnp.zeros(F, jnp.int32).at[order].set(jnp.arange(F, dtype=jnp.int32))
+    new = close & (depth_ok | (rank < 100))
+
+    slots = mp_base + jnp.cumsum(new.astype(jnp.int32)) - 1
+    slots = jnp.where(new & (slots < P), slots, NONE)
+    ok = slots >= 0
+
+    from ..geometry import camera as cam_mod
+    pw = cam_mod.unproject_world(cfg.camera, q, t, feats.xy, feats.depth)
+    q_wc, t_wc = se3.inverse(q, t)
+    v = pw - t_wc
+    dist = jnp.maximum(jnp.linalg.norm(v, axis=-1), 1e-9)
+    normal = v / dist[:, None]
+    sf = jnp.asarray(cfg.orb.scale_factors)
+    max_d = dist * sf[feats.level]
+    min_d = max_d / sf[-1]
+
+    state = ms.add_points(state, slots, pw, feats.desc, normal, min_d, max_d,
+                          ref_kf=jnp.full((F,), kf_slot, jnp.int32),
+                          agent=jnp.full((F,), agent, jnp.int32),
+                          map_id=jnp.full((F,), map_id, jnp.int32), valid=ok)
+    frame_mp2 = jnp.where(ok, slots, frame_mp)
+
+    # spanning-tree parent: best covisible at insertion (approximated by the
+    # most-shared existing KF after covis update; use pre-insert best match)
+    state = ms.insert_keyframe(state, kf_slot, feats, q, t, frame_id, agent,
+                               map_id, frame_mp2, parent=NONE)
+    parent = jnp.argmax(state.covis[kf_slot].at[kf_slot].set(0))
+    has_parent = state.covis[kf_slot, parent] > 0
+    state = state._replace(kf_parent=state.kf_parent.at[kf_slot].set(
+        jnp.where(has_parent, parent, NONE).astype(jnp.int32)))
+
+    # refresh derived point attributes for touched points
+    touched = jnp.zeros((P + 1,), bool).at[
+        jnp.where(frame_mp2 >= 0, frame_mp2, P)].set(True)[:P]
+    state = ms.update_point_descriptors(state, touched)
+    state = ms.update_point_normals(state, touched, cfg.orb.scale_factor,
+                                    cfg.orb.n_levels)
+    return state, frame_mp2, jnp.sum(ok.astype(jnp.int32))
+
+
+# ---------------------------------------------------------------------------
+# Local bundle adjustment over the covisibility window
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_iters1", "n_iters2"))
+def local_ba_step(state: ms.MapState, center_kf, cfg: SlamConfig,
+                  n_iters1: int = 5, n_iters2: int = 10):
+    """Local BA (LocalBundleAdjustment src/Optimizer.cc:455-783): optimize
+    the 1-ring covisibility window of center_kf and all points they observe;
+    other observing KFs participate as fixed; origin KFs always fixed.
+    Two stages with chi2 outlier erasure in between, as the reference does.
+    """
+    K, F, P, O = state.caps
+    window = ms.covis_neighbors_mask(state, center_kf, 1)
+    window = window.at[center_kf].set(True)
+    window &= state.kf_valid
+
+    # points observed by window KFs
+    obs_sel = jnp.where(window[:, None], state.kf_mp, NONE)
+    point_mask = jnp.zeros((P + 1,), bool).at[
+        jnp.where(obs_sel >= 0, obs_sel, P).reshape(-1)].set(True)[:P]
+    point_mask &= state.mp_valid
+
+    # fixed poses: valid KFs outside the window that observe selected points,
+    # plus origin anchors; invalid KFs excluded entirely
+    fixed = (state.kf_valid & ~window) | state.kf_fixed_origin
+
+    obs_kf = state.mp_obs_kf
+    obs_feat = jnp.clip(state.mp_obs_feat, 0, F - 1)
+    kf_c = jnp.clip(obs_kf, 0, K - 1)
+    uv = state.kf_xy[kf_c, obs_feat]
+    ur = state.kf_right[kf_c, obs_feat]
+    level = state.kf_level[kf_c, obs_feat]
+    sf = jnp.asarray(cfg.orb.scale_factors)
+    inv_sigma2 = 1.0 / sf[level] ** 2
+    obs_mask = (obs_kf >= 0) & point_mask[:, None] \
+        & state.kf_valid[kf_c]
+
+    prob = ba_mod.BAProblem(
+        q=state.kf_q, t=state.kf_t,
+        pose_valid=state.kf_valid,
+        pose_fixed=fixed,
+        pw=state.mp_pos,
+        point_valid=point_mask,
+        obs_kf=jnp.where(obs_mask, obs_kf, NONE),
+        obs_uvr=jnp.concatenate([uv, ur[..., None]], axis=-1),
+        obs_inv_sigma2=inv_sigma2,
+        obs_stereo=ur >= 0,
+        obs_mask=obs_mask,
+    )
+    res = ba_mod.ba_solve(prob, cfg.camera, n_iters=n_iters1, use_huber=True,
+                          chunk=_ba_chunk(P))
+    keep = ba_mod.outlier_mask(res, prob)
+    prob2 = prob._replace(q=res.q, t=res.t, pw=res.pw, obs_mask=keep)
+    res2 = ba_mod.ba_solve(prob2, cfg.camera, n_iters=n_iters2,
+                           use_huber=False, chunk=_ba_chunk(P))
+    keep2 = ba_mod.outlier_mask(res2, prob2)
+
+    # write back optimized poses/points
+    state = state._replace(
+        kf_q=jnp.where((window & ~fixed)[:, None], res2.q, state.kf_q),
+        kf_t=jnp.where((window & ~fixed)[:, None], res2.t, state.kf_t),
+        mp_pos=jnp.where(point_mask[:, None], res2.pw, state.mp_pos),
+    )
+    # erase outlier observations (reference erases chi2>th obs pairs,
+    # src/Optimizer.cc:750-762)
+    erase = prob.obs_mask & ~keep2
+    state = erase_observations(state, erase)
+    return state
+
+
+def _ba_chunk(P: int) -> int:
+    return max(min(P, 2048), P // 32)
+
+
+def erase_observations(state: ms.MapState, erase_mask):
+    """Remove observations flagged in erase_mask [P, O] from both directions
+    (MapPoint::EraseObservation + KeyFrame::EraseMapPointMatch)."""
+    K, F, P, O = state.caps
+    kf = jnp.where(erase_mask, state.mp_obs_kf, K)   # K/F rows out of bounds
+    ft = jnp.where(erase_mask, state.mp_obs_feat, F)  # -> dropped by mode=drop
+    kf_mp = state.kf_mp.at[kf.reshape(-1), ft.reshape(-1)].set(NONE, mode="drop")
+    return state._replace(
+        kf_mp=kf_mp,
+        mp_obs_kf=jnp.where(erase_mask, NONE, state.mp_obs_kf),
+        mp_obs_feat=jnp.where(erase_mask, NONE, state.mp_obs_feat),
+    )
+
+
+@functools.partial(jax.jit)
+def recompute_covisibility(state: ms.MapState):
+    """Full covisibility rebuild from the inverse observation lists:
+    every pair of KFs observing the same point adds weight 1
+    (batch equivalent of calling UpdateConnections on every KF)."""
+    K, F, P, O = state.caps
+    obs = state.mp_obs_kf                        # [P, O]
+    a = jnp.where(obs[:, :, None] >= 0, obs[:, :, None], K)
+    b = jnp.where(obs[:, None, :] >= 0, obs[:, None, :], K)
+    idx = jnp.where((a < K) & (b < K) & (a != b), a * K + b, K * K)
+
+    def body(carry, idx_chunk):
+        return carry + jax.ops.segment_sum(
+            jnp.ones_like(idx_chunk.reshape(-1)), idx_chunk.reshape(-1),
+            num_segments=K * K + 1)[:K * K], None
+
+    n_chunks = max(P // 2048, 1)
+    idx_c = idx.reshape(n_chunks, -1, O, O)
+    covis, _ = jax.lax.scan(body, jnp.zeros(K * K, jnp.int32), idx_c)
+    return state._replace(covis=covis.reshape(K, K))

@@ -1,0 +1,275 @@
+"""Host-side tracking orchestrator: the Tracking state machine.
+
+Replaces the reference Tracking thread (src/Tracking.cc Track(),
+:278-517) and the LocalMapping consumer for the synchronous phases. The host
+never touches image or descriptor data — it sequences jitted steps
+(runtime.steps) and makes the small-scalar decisions (state transitions,
+keyframe need, slot allocation) the reference spreads across its state
+machine.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SlamConfig, Sensor
+from ..geometry import se3
+from ..mapstate import state as ms
+from ..ops import frame as frame_mod
+from . import steps
+
+
+class TrackerState:
+    NOT_INITIALIZED = 0
+    OK = 1
+    LOST = 2
+
+
+class SharedMap:
+    """Owns the MapState arrays + slot allocation counters.
+
+    One per map in single-agent mode; the multi-agent server shares one
+    across agents (the reference's Map + MultiMap roles).
+    """
+
+    def __init__(self, cfg: SlamConfig):
+        self.cfg = cfg
+        self.state = ms.empty_map_state(cfg)
+        self.n_kf = 0
+        self.n_mp = 0
+
+    def alloc_kf(self) -> int:
+        if self.n_kf >= self.cfg.caps.max_keyframes:
+            raise RuntimeError("keyframe capacity exhausted")
+        slot = self.n_kf
+        self.n_kf += 1
+        return slot
+
+    def mp_base(self) -> int:
+        return self.n_mp
+
+    def commit_mp(self, n_new: int):
+        self.n_mp = min(self.n_mp + n_new, self.cfg.caps.max_points)
+
+
+@dataclasses.dataclass
+class FrameRecord:
+    frame_id: int
+    q: np.ndarray
+    t: np.ndarray
+    lost: bool
+
+
+class Tracker:
+    """Per-agent front end (one per System, reference src/System.cc:89)."""
+
+    def __init__(self, cfg: SlamConfig, shared: SharedMap, agent: int = 0,
+                 map_id: int = 0, run_local_ba: bool = True):
+        self.cfg = cfg
+        self.shared = shared
+        self.agent = agent
+        self.map_id = map_id
+        self.run_local_ba = run_local_ba
+        self.state = TrackerState.NOT_INITIALIZED
+        self.last_q = None
+        self.last_t = None
+        self.last_feats = None
+        self.last_frame_mp = None
+        self.vel_q = jnp.array([1.0, 0.0, 0.0, 0.0])
+        self.vel_t = jnp.zeros(3)
+        self.has_velocity = False
+        self.ref_kf = -1
+        self.last_kf_frame = -1
+        self.frame_id = -1
+        self.trajectory: list[FrameRecord] = []
+        self.new_kf_slots: list[int] = []   # queue for loop-closing stage
+
+    # -- public API (System::TrackStereo / TrackRGBD equivalents) ---------
+
+    def track_stereo(self, img_left, img_right, frame_id: Optional[int] = None):
+        feats = frame_mod.extract_frame(jnp.asarray(img_left), self.cfg,
+                                        right_img=jnp.asarray(img_right))
+        return self._track(feats, frame_id)
+
+    def track_rgbd(self, img, depth, frame_id: Optional[int] = None):
+        feats = frame_mod.extract_frame(jnp.asarray(img), self.cfg,
+                                        depth_map=jnp.asarray(depth))
+        return self._track(feats, frame_id)
+
+    def track_features(self, feats: frame_mod.FrameFeatures,
+                       frame_id: Optional[int] = None):
+        """Track pre-extracted features (used by tests and batched drivers)."""
+        return self._track(feats, frame_id)
+
+    # -- core state machine (Tracking::Track, src/Tracking.cc:278-517) -----
+
+    def _track(self, feats, frame_id):
+        self.frame_id = self.frame_id + 1 if frame_id is None else frame_id
+        if self.state == TrackerState.NOT_INITIALIZED:
+            ok = self._initialize(feats)
+            self._record(lost=not ok)
+            return (self.last_q, self.last_t) if ok else None
+
+        q_pred, t_pred = self._predict_pose()
+        sh = self.shared
+
+        tr = steps.track_motion_model_step(
+            sh.state, feats, self.last_feats, self.last_frame_mp,
+            q_pred, t_pred, self.cfg)
+        if int(tr.n_inliers) < self.cfg.tracking.min_matches_motion_model:
+            tr = steps.track_motion_model_step(
+                sh.state, feats, self.last_feats, self.last_frame_mp,
+                q_pred, t_pred, self.cfg, radius_mult=2.0)
+        if int(tr.n_inliers) < self.cfg.tracking.min_matches_ref_kf:
+            tr = steps.track_reference_kf_step(
+                sh.state, feats, self.ref_kf, q_pred, t_pred, self.cfg)
+
+        ok = int(tr.n_inliers) >= 10
+        if ok:
+            tr2, new_state = steps.track_local_map_step(
+                sh.state, feats, tr.q, tr.t, tr.frame_mp, self.ref_kf,
+                self.cfg)
+            sh.state = new_state
+            ok = int(tr2.n_inliers) >= self.cfg.tracking.min_inliers_track_local_map
+            tr = tr2 if ok else tr
+
+        if not ok:
+            # dead-reckon on the motion model (reference would relocalize;
+            # relocalization lands with the place-recognition stage)
+            self.state = TrackerState.LOST
+            self.last_q, self.last_t = q_pred, t_pred
+            self.last_feats = feats
+            self.last_frame_mp = jnp.full((self.cfg.caps.max_features,),
+                                          ms.NONE, jnp.int32)
+            self._record(lost=True)
+            return None
+
+        self.state = TrackerState.OK
+        # velocity: Tcw_cur * Twc_last
+        if self.last_q is not None:
+            self.vel_q, self.vel_t = se3.relative(tr.q, tr.t, self.last_q,
+                                                  self.last_t)
+            self.has_velocity = True
+
+        need_kf = self._need_new_keyframe(feats, tr)
+        frame_mp = tr.frame_mp
+        if need_kf:
+            frame_mp = self._create_keyframe(feats, tr)
+
+        self.last_q, self.last_t = tr.q, tr.t
+        self.last_feats = feats
+        self.last_frame_mp = frame_mp
+        self._record(lost=False)
+        return self.last_q, self.last_t
+
+    # -- internals ---------------------------------------------------------
+
+    def _initialize(self, feats) -> bool:
+        if self.cfg.sensor == Sensor.MONOCULAR:
+            raise NotImplementedError(
+                "monocular init lands with the two-view bootstrap stage")
+        # reference requires 500 keypoints (src/Tracking.cc:523); scaled-down
+        # test scenes use smaller budgets, so gate on usable depth instead
+        n_depth = int(jnp.sum(feats.valid & (feats.depth > 0)))
+        if n_depth < 100:
+            return False
+        sh = self.shared
+        kf_slot = sh.alloc_kf()
+        sh.state, frame_mp, n_new = steps.stereo_init_step(
+            sh.state, feats, self.frame_id, self.agent, self.map_id,
+            kf_slot, sh.mp_base(), self.cfg)
+        sh.commit_mp(int(n_new))
+        self.state = TrackerState.OK
+        self.last_q = jnp.array([1.0, 0.0, 0.0, 0.0])
+        self.last_t = jnp.zeros(3)
+        self.last_feats = feats
+        self.last_frame_mp = frame_mp
+        self.ref_kf = kf_slot
+        self.last_kf_frame = self.frame_id
+        self.new_kf_slots.append(kf_slot)
+        return True
+
+    def _predict_pose(self):
+        if self.has_velocity:
+            return se3.compose(self.vel_q, self.vel_t, self.last_q, self.last_t)
+        return self.last_q, self.last_t
+
+    def _need_new_keyframe(self, feats, tr) -> bool:
+        """Reference NeedNewKeyFrame (src/Tracking.cc:990-1074), without the
+        mapping-idle conditions (phases are synchronous here)."""
+        tcfg = self.cfg.tracking
+        frames_since = self.frame_id - self.last_kf_frame
+        n_in = int(tr.n_inliers)
+
+        # reference counts tracked/untracked close stereo points (:1016-1029)
+        close_th = tcfg.th_depth * self.cfg.camera.baseline
+        depth = np.asarray(feats.depth)
+        valid = np.asarray(feats.valid)
+        tracked = np.asarray(tr.frame_mp) >= 0
+        close = valid & (depth > 0) & (depth < close_th)
+        tracked_close = int((close & tracked).sum())
+        untracked_close = int((close & ~tracked).sum())
+        need_close = tracked_close < 100 and untracked_close > 70
+
+        ref_matches = self._ref_kf_matches()
+        c1a = frames_since >= tcfg.max_frames_between_kf
+        c1c = self.cfg.sensor != Sensor.MONOCULAR and \
+            (n_in < ref_matches * 0.25 or need_close)
+        c2 = (n_in < ref_matches * 0.75 or need_close) and n_in > 15
+        return bool(c1a or ((c1c or frames_since >= tcfg.min_frames_between_kf)
+                            and c2))
+
+    def _ref_kf_matches(self) -> int:
+        """Tracked-point count of the reference KF (min obs 3 as the
+        reference uses once >2 KFs exist)."""
+        st = self.shared.state
+        kf_mp = np.asarray(st.kf_mp[self.ref_kf])
+        valid = kf_mp >= 0
+        if self.shared.n_kf <= 2:
+            return int(valid.sum())
+        n_obs = np.asarray(st.mp_n_obs())[np.clip(kf_mp, 0, len(st.mp_valid) - 1)]
+        return int((valid & (n_obs >= 3)).sum())
+
+    def _create_keyframe(self, feats, tr):
+        sh = self.shared
+        kf_slot = sh.alloc_kf()
+        sh.state, frame_mp, n_new = steps.create_keyframe_step(
+            sh.state, feats, tr.q, tr.t, tr.frame_mp, self.frame_id,
+            self.agent, self.map_id, kf_slot, sh.mp_base(), self.cfg)
+        sh.commit_mp(int(n_new))
+        self.ref_kf = kf_slot
+        self.last_kf_frame = self.frame_id
+        self.new_kf_slots.append(kf_slot)
+        # synchronous LocalMapping pass: cull + fuse duplicates + local BA
+        from . import mapping
+        sh.state = mapping.local_mapping_pass(sh.state, kf_slot, self.cfg)
+        if self.run_local_ba and sh.n_kf >= 3:
+            sh.state = steps.local_ba_step(sh.state, kf_slot, self.cfg)
+            sh.state = steps.recompute_covisibility(sh.state)
+        # fusion may have remapped point identities; the keyframe's own
+        # feature->point row is the authoritative post-fusion assignment
+        frame_mp = sh.state.kf_mp[kf_slot]
+        return frame_mp
+
+    def _record(self, lost: bool):
+        self.trajectory.append(FrameRecord(
+            frame_id=self.frame_id,
+            q=np.asarray(self.last_q) if self.last_q is not None else np.array(
+                [1.0, 0, 0, 0]),
+            t=np.asarray(self.last_t) if self.last_t is not None else np.zeros(3),
+            lost=lost))
+
+    # -- trajectory export (System::SaveTrajectory*, src/System.cc:390-540) --
+
+    def trajectory_tum(self, timestamps=None):
+        """TUM format rows: t tx ty tz qx qy qz qw (camera-to-world)."""
+        rows = []
+        for i, rec in enumerate(self.trajectory):
+            ts = timestamps[i] if timestamps is not None else float(rec.frame_id)
+            q_wc, t_wc = se3.inverse(jnp.asarray(rec.q), jnp.asarray(rec.t))
+            q_wc, t_wc = np.asarray(q_wc), np.asarray(t_wc)
+            rows.append((ts, *t_wc, q_wc[1], q_wc[2], q_wc[3], q_wc[0]))
+        return rows

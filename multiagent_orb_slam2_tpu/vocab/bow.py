@@ -1,0 +1,207 @@
+"""Hierarchical binary vocabulary: training, transform, tf-idf scoring.
+
+Mirrors DBoW2::TemplatedVocabulary semantics (Thirdparty/DBoW2/DBoW2/
+TemplatedVocabulary.h: `create` hierarchical k-medians, `transform` :135-145,
+L1 `score` :162) re-designed for TPU:
+
+- the tree is stored as one centroid table per level, children of node i
+  contiguous at [i*k, (i+1)*k); transform is `depth` rounds of gather +
+  batched Hamming argmin over k children — no pointer walking;
+- a frame's BoW vector is a dense [W] tf-idf row (W = k^depth words);
+  database scoring is a dense matrix product (MXU) instead of an inverted
+  file: at W = 10^4..10^5 and K <= 1024 keyframes the dense form is faster
+  on TPU than sparse gather chains.
+
+Training is host-side numpy (offline, like DBoW2's create()).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@jax.tree_util.register_pytree_node_class
+class Vocabulary:
+    """Flat k-ary tree of packed binary centroids.
+
+    Registered as a pytree with (k, depth) as static aux data so a Vocabulary
+    can be passed straight into jitted functions: the tree structure encodes
+    the static shape, the centroid/idf arrays are traced leaves.
+    """
+
+    def __init__(self, centroids, idf, k: int, depth: int):
+        self.centroids = tuple(centroids)  # per level: [k^(l+1), 8] uint32
+        self.idf = idf                     # [W] inverse document frequency
+        self.k = k
+        self.depth = depth
+
+    @property
+    def n_words(self) -> int:
+        return self.k ** self.depth
+
+    def tree_flatten(self):
+        return (self.centroids, self.idf), (self.k, self.depth)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        centroids, idf = children
+        return cls(centroids, idf, *aux)
+
+
+# ---------------------------------------------------------------------------
+# Training (hierarchical binary k-medians, host side)
+# ---------------------------------------------------------------------------
+
+def _popcount_np(x):
+    return np.unpackbits(x.view(np.uint8), axis=-1).sum(-1)
+
+
+def _hamming_np(a, b):
+    """a [N, 8], b [M, 8] -> [N, M]"""
+    return np.stack([_popcount_np(np.bitwise_xor(a, b[j]))
+                     for j in range(b.shape[0])], axis=1)
+
+
+def _binary_mean(descs):
+    """Majority bit per position -> packed centroid [8] uint32."""
+    bits = np.unpackbits(descs.view(np.uint8), axis=-1)  # [N, 256]
+    maj = (bits.mean(0) >= 0.5).astype(np.uint8)
+    return np.packbits(maj).view(np.uint32)
+
+
+def _kmedians(descs, k, rng, iters=6):
+    """Binary k-medians over packed descriptors [N, 8]. Returns [k, 8]."""
+    n = descs.shape[0]
+    if n <= k:
+        cents = np.zeros((k, 8), np.uint32)
+        cents[:n] = descs
+        if n:
+            cents[n:] = descs[rng.integers(0, n, size=k - n)]
+        return cents
+    cents = descs[rng.choice(n, size=k, replace=False)].copy()
+    for _ in range(iters):
+        d = _hamming_np(descs, cents)
+        assign = d.argmin(1)
+        for j in range(k):
+            sel = descs[assign == j]
+            if len(sel):
+                cents[j] = _binary_mean(sel)
+            else:
+                cents[j] = descs[rng.integers(0, n)]
+    return cents
+
+
+def train_vocabulary(descriptors: np.ndarray, k: int = 10, depth: int = 3,
+                     seed: int = 0, weight_descs: np.ndarray = None
+                     ) -> Vocabulary:
+    """Hierarchical k-medians over sample descriptors [N, 8] uint32.
+
+    Builds level tables; unpopulated branches get copies of random
+    descriptors (they simply never win an argmin in practice). idf weights
+    from the training corpus document frequencies (each descriptor = one
+    'document' occurrence, as DBoW2 does with training images).
+    """
+    rng = np.random.default_rng(seed)
+    descs = np.asarray(descriptors, np.uint32)
+    levels = []
+    # assignment of each training descriptor to current node
+    node_of = np.zeros(len(descs), np.int64)
+    n_nodes = 1
+    for level in range(depth):
+        cents = np.zeros((n_nodes * k, 8), np.uint32)
+        new_node_of = np.zeros_like(node_of)
+        for node in range(n_nodes):
+            sel = node_of == node
+            sub = descs[sel]
+            c = _kmedians(sub, k, rng) if len(sub) else \
+                descs[rng.integers(0, len(descs), size=k)]
+            cents[node * k:(node + 1) * k] = c
+            if len(sub):
+                a = _hamming_np(sub, c).argmin(1)
+                new_node_of[sel] = node * k + a
+        levels.append(jnp.asarray(cents))
+        node_of = new_node_of
+        n_nodes *= k
+
+    # idf from word document frequency of the training corpus
+    W = k ** depth
+    counts = np.bincount(node_of, minlength=W).astype(np.float64)
+    n_docs = max(len(descs), 1)
+    idf = np.log(n_docs / np.maximum(counts, 1.0))
+    idf = np.where(counts > 0, idf, 0.0)
+    return Vocabulary(centroids=tuple(levels), idf=jnp.asarray(idf, jnp.float32),
+                      k=k, depth=depth)
+
+
+def save_vocabulary(vocab: Vocabulary, path: str):
+    np.savez_compressed(
+        path, k=vocab.k, depth=vocab.depth, idf=np.asarray(vocab.idf),
+        **{f"level{i}": np.asarray(c) for i, c in enumerate(vocab.centroids)})
+
+
+def load_vocabulary(path: str) -> Vocabulary:
+    z = np.load(path)
+    k, depth = int(z["k"]), int(z["depth"])
+    cents = tuple(jnp.asarray(z[f"level{i}"]) for i in range(depth))
+    return Vocabulary(centroids=cents, idf=jnp.asarray(z["idf"]), k=k,
+                      depth=depth)
+
+
+# ---------------------------------------------------------------------------
+# Transform + scoring (device side)
+# ---------------------------------------------------------------------------
+
+def transform_words(vocab: Vocabulary, desc, valid):
+    """Descriptors [N, 8] -> word ids [N] int32 (invalid -> -1).
+
+    DBoW2 transform (TemplatedVocabulary.h:135): walk the tree by Hamming
+    argmin among each node's k children.
+    """
+    from ..ops import hamming
+    node = jnp.zeros(desc.shape[0], jnp.int32)
+    for level in range(vocab.depth):
+        cents = vocab.centroids[level]                     # [nodes*k, 8]
+        child_base = node * vocab.k
+        idx = child_base[:, None] + jnp.arange(vocab.k)[None, :]
+        cand = cents[idx]                                  # [N, k, 8]
+        d = hamming.popcount_u32(
+            jnp.bitwise_xor(cand, desc[:, None, :])).sum(-1)
+        node = (child_base + jnp.argmin(d, axis=-1)).astype(jnp.int32)
+    return jnp.where(valid, node, -1)
+
+
+def bow_vector(vocab: Vocabulary, words, valid):
+    """Word ids -> L1-normalized tf-idf dense vector [W]
+    (DBoW2 TF_IDF + L1 normalization)."""
+    W = vocab.n_words
+    w_safe = jnp.where(valid & (words >= 0), words, W)
+    tf = jax.ops.segment_sum(jnp.ones_like(w_safe, jnp.float32), w_safe,
+                             num_segments=W + 1)[:W]
+    v = tf * vocab.idf
+    n = jnp.sum(jnp.abs(v))
+    return v / jnp.maximum(n, 1e-9)
+
+
+def l1_score(v, db):
+    """L1 similarity of query v [W] against rows of db [K, W]
+    (DBoW2 L1Scoring: s = 1 - 0.5 |v - w|_1 for L1-normalized vectors,
+    computed in the efficient '2 + sum(|a-b|-|a|-|b|)' form over the sparse
+    support; dense equivalent below)."""
+    return 1.0 - 0.5 * jnp.sum(jnp.abs(v[None, :] - db), axis=-1)
+
+
+def common_words(words_q, valid_q, word_presence_db):
+    """Number of shared words between query word set and each database row.
+
+    word_presence_db: [K, W] bool. Returns [K] int32 — the reference's
+    'words in common' counter from the inverted file walk
+    (src/KeyFrameDatabase.cc:84-117).
+    """
+    W = word_presence_db.shape[1]
+    w_safe = jnp.where(valid_q & (words_q >= 0), words_q, W)
+    q_pres = jnp.zeros((W + 1,), bool).at[w_safe].set(True)[:W]
+    return jnp.sum(word_presence_db & q_pres[None, :], axis=-1).astype(jnp.int32)
