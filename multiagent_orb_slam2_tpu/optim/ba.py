@@ -105,47 +105,79 @@ def _build_and_solve(prob: BAProblem, q, t, pw, cam, lam, delta2_m, delta2_s,
     Hpp_d = Hpp.at[..., jnp.arange(3), jnp.arange(3)].add(lam * diag + 1e-8)
     Hpp_inv = jnp.linalg.inv(Hpp_d)
 
-    # --- per-pose diagonal blocks ----------------------------------------
-    kf_flat = jnp.where(prob.obs_kf >= 0, prob.obs_kf, K).reshape(-1)
-    Hcc_terms = jnp.einsum("pmij,pmik,pm->pmjk", Jc, Jc, w).reshape(-1, 6, 6)
-    bc_terms = -jnp.einsum("pmij,pmi,pm->pmj", Jc, r, w).reshape(-1, 6)
-    Hcc = jax.ops.segment_sum(Hcc_terms, kf_flat, num_segments=K + 1)[:K]
-    bc = jax.ops.segment_sum(bc_terms, kf_flat, num_segments=K + 1)[:K]
-
-    # --- Schur cross terms, chunked over points ---------------------------
+    # --- Schur + pose-block assembly as one-hot MXU matmuls ---------------
+    # TPU scatters serialize, so instead of segment_sum over (k1, k2) block
+    # ids the cross term is factorized: with O the per-observation one-hot
+    # keyframe assignment,  S_cross[k1,k2] = sum_p sum_m U[p,k1,:,m] V[p,k2,:,m]
+    # where U = O^T Y and V = O^T Wb per point — pure matrix products.
     Wb = jnp.einsum("pmij,pmik,pm->pmjk", Jc, Jp, w)        # [P, M, 6, 3]
     Y = jnp.einsum("pmjk,pkl->pmjl", Wb, Hpp_inv)           # [P, M, 6, 3]
 
+    hi = jax.lax.Precision.HIGHEST
     n_chunks = max(P // chunk, 1)
+    kf_all = jnp.where(prob.obs_kf >= 0, prob.obs_kf, K)
+
     Wb_c = Wb.reshape(n_chunks, -1, M, 6, 3)
     Y_c = Y.reshape(n_chunks, -1, M, 6, 3)
     bp_c = bp.reshape(n_chunks, -1, 3)
-    kf_c = jnp.where(prob.obs_kf >= 0, prob.obs_kf, K).reshape(n_chunks, -1, M)
+    kf_c = kf_all.reshape(n_chunks, -1, M)
+    Jc_c = Jc.reshape(n_chunks, -1, M, 3, 6)
+    r_c = r.reshape(n_chunks, -1, M, 3)
+    w_c = w.reshape(n_chunks, -1, M)
+
+    KK = K + 1
 
     def chunk_body(carry, inp):
-        S_acc, rhs_acc = carry
-        Wb_i, Y_i, bp_i, kf_i = inp
-        # S block contributions: Y[m1] @ Wb[m2]^T  -> block (kf[m1], kf[m2])
-        contrib = jnp.einsum("pajk,pblk->pabjl", Y_i, Wb_i)  # [p, M, M, 6, 6]
-        invalid = (kf_i[:, :, None] >= K) | (kf_i[:, None, :] >= K)
-        idx = kf_i[:, :, None] * (K + 1) + kf_i[:, None, :]
-        idx = jnp.where(invalid, (K + 1) * (K + 1), idx).reshape(-1)
-        S_acc = S_acc + jax.ops.segment_sum(
-            contrib.reshape(-1, 6, 6), idx,
-            num_segments=(K + 1) * (K + 1) + 1)[:(K + 1) * (K + 1)]
-        # rhs contributions: Y[m] @ bp -> pose kf[m]
-        rhs_contrib = jnp.einsum("pajk,pk->paj", Y_i, bp_i).reshape(-1, 6)
-        rhs_acc = rhs_acc + jax.ops.segment_sum(
-            rhs_contrib, kf_i.reshape(-1), num_segments=K + 1)
-        return (S_acc, rhs_acc), None
+        S_acc, rhs_acc, Hcc_acc, bc_acc = carry
+        Wb_i, Y_i, bp_i, kf_i, Jc_i, r_i, w_i = inp
+        c = kf_i.shape[0]
+        E = c * M
+        Of = jax.nn.one_hot(kf_i.reshape(E), KK, dtype=Wb_i.dtype)  # [E, KK]
 
-    S0 = jnp.zeros(((K + 1) * (K + 1), 6, 6))
-    rhs0 = jnp.zeros((K + 1, 6))
-    (S_flat, rhs_p), _ = jax.lax.scan(chunk_body, (S0, rhs0),
-                                      (Wb_c, Y_c, bp_c, kf_c))
+        # pose diagonal blocks + gradient: single [KK, E] @ [E, 36] matmuls
+        Hcc_terms = jnp.einsum("caij,caik,ca->cajk", Jc_i, Jc_i,
+                               w_i).reshape(E, 36)
+        bc_terms = -jnp.einsum("caij,cai,ca->caj", Jc_i, r_i,
+                               w_i).reshape(E, 6)
+        Hcc_acc = Hcc_acc + jax.lax.dot_general(
+            Of, Hcc_terms, (((0,), (0,)), ((), ())), precision=hi)
+        bc_acc = bc_acc + jax.lax.dot_general(
+            Of, bc_terms, (((0,), (0,)), ((), ())), precision=hi)
 
-    S_blocks = S_flat.reshape(K + 1, K + 1, 6, 6)[:K, :K]
-    S = -S_blocks
+        # factorized Schur cross blocks:
+        #   U[c,k,(i,m)] = O_c^T Y_c  (batched [KK,M] @ [M,18] matmul)
+        O3 = Of.reshape(c, M, KK)
+        U = jax.lax.dot_general(O3, Y_i.reshape(c, M, 18),
+                                (((1,), (1,)), ((0,), (0,))), precision=hi)
+        V = jax.lax.dot_general(O3, Wb_i.reshape(c, M, 18),
+                                (((1,), (1,)), ((0,), (0,))), precision=hi)
+        #   S[(k1,i),(k2,j)] += sum_{c,m} U[c,m',(k1,i)] V[c,m',(k2,j)]
+        #   as ONE [6KK, 3c] @ [3c, 6KK] matmul
+        U2 = U.reshape(c, KK, 6, 3).transpose(0, 3, 1, 2).reshape(
+            c * 3, KK * 6)
+        V2 = V.reshape(c, KK, 6, 3).transpose(0, 3, 1, 2).reshape(
+            c * 3, KK * 6)
+        S_acc = S_acc + jax.lax.dot_general(
+            U2, V2, (((0,), (0,)), ((), ())), precision=hi)
+
+        # Schur rhs: [KK, E] @ [E, 6]
+        Ybp = jnp.einsum("cajk,ck->caj", Y_i, bp_i).reshape(E, 6)
+        rhs_acc = rhs_acc + jax.lax.dot_general(
+            Of, Ybp, (((0,), (0,)), ((), ())), precision=hi)
+        return (S_acc, rhs_acc, Hcc_acc, bc_acc), None
+
+    S0 = jnp.zeros((KK * 6, KK * 6))
+    rhs0 = jnp.zeros((KK, 6))
+    Hcc0 = jnp.zeros((KK, 36))
+    (S_flat, rhs_p, Hcc_p, bc_p), _ = jax.lax.scan(
+        chunk_body, (S0, rhs0, Hcc0, rhs0),
+        (Wb_c, Y_c, bp_c, kf_c, Jc_c, r_c, w_c))
+    Hcc = Hcc_p[:K].reshape(K, 6, 6)
+    bc = bc_p[:K]
+
+    # S_flat rows/cols are (k, i) blocks -> [KK, 6, KK, 6] -> [K, K, 6, 6]
+    S_blocks = S_flat.reshape(KK, 6, KK, 6).transpose(0, 2, 1, 3)
+    S = -S_blocks[:K, :K]
     S = S.at[jnp.arange(K), jnp.arange(K)].add(Hcc)
     # LM damping on the pose-block diagonal entries
     hcc_diag = jnp.diagonal(Hcc, axis1=-2, axis2=-1)          # [K, 6]

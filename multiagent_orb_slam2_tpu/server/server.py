@@ -1,0 +1,164 @@
+"""MultiAgentServer: central fusion service coordinating N agents.
+
+Replaces MultiAgentServer (reference src/MultiAgentServer.cc) + the MapFusion
+thread loop (src/MapFusion.cc:51-81). Owns the global vocabulary + global
+keyframe database + the MultiMap registry; receives every keyframe that did
+not close an intra-map loop (reference src/LoopClosing.cc:82-95) and runs the
+fusion pipeline: cross-map candidate detection -> Sim3 verification ->
+FuseMaps -> covisibility discovery -> global BA.
+
+All agents share one SharedMap (see server/__init__); the reference's
+stop/release choreography and its per-agent KFDB swap after fusion
+(src/MapFusion.cc:706-715) reduce to synchronous phase ordering and the
+global database already covering every keyframe.
+"""
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SlamConfig
+from ..mapstate import state as ms
+from ..runtime import loop_closing as lc
+from ..runtime.tracker import SharedMap, Tracker
+from ..vocab import bow as bow_mod
+from ..vocab import kfdb as kfdb_mod
+from . import fusion
+from .multimap import MultiMap
+
+
+class MultiAgentServer:
+    def __init__(self, cfg: SlamConfig, vocab: bow_mod.Vocabulary,
+                 run_gba: bool = True):
+        self.cfg = cfg
+        self.vocab = vocab
+        self.shared = SharedMap(cfg)
+        self.multimap = MultiMap()
+        self.db = kfdb_mod.empty_database(cfg.caps.max_keyframes, vocab)
+        self.consistency: dict[int, list] = {}   # per-agent groups
+        self.run_gba = run_gba
+        self.trackers: dict[int, Tracker] = {}
+        self.loop_closers: dict[int, lc.LoopCloser] = {}
+        self.stats: list[dict] = []              # MAP_FUSION_STATS equivalent
+
+    # -- registration (reference RegisterClient/RegisterServer) ------------
+
+    def register_client(self, agent: int) -> Tracker:
+        map_id = agent  # each agent starts on its own logical map
+        tracker = Tracker(self.cfg, self.shared, agent=agent, map_id=map_id)
+        self.trackers[agent] = tracker
+        self.loop_closers[agent] = lc.LoopCloser(self.cfg, self.vocab)
+        self.multimap.add(agent, map_id)
+        self.consistency[agent] = []
+        return tracker
+
+    # -- per-keyframe processing (the MapFusion::Run loop) -----------------
+
+    def process_new_keyframes(self):
+        """Drain every tracker's new-KF queue: run the agent's own loop
+        closing; KFs that are not intra-map loops go to fusion detection
+        (reference src/LoopClosing.cc:82-95)."""
+        for agent, tracker in self.trackers.items():
+            while tracker.new_kf_slots:
+                kf_slot = tracker.new_kf_slots.pop(0)
+                tracker.map_id = self.multimap.map_of(agent)
+                lc_match = self.loop_closers[agent].process_keyframe(
+                    self.shared, kf_slot)
+                if lc_match is not None:
+                    self.loop_closers[agent].correct_loop(
+                        self.shared, lc_match, run_gba=self.run_gba)
+                    continue
+                self._insert_keyframe_fusion(agent, kf_slot)
+
+    def _insert_keyframe_fusion(self, agent: int, kf_slot: int):
+        """One MapFusion iteration for a queued keyframe."""
+        st = self.shared.state
+        desc = st.kf_desc[kf_slot]
+        valid = st.kf_feat_valid[kf_slot]
+        self.db, words, vec = kfdb_mod.add_keyframe(
+            self.db, self.vocab, kf_slot, desc, valid)
+
+        if self.multimap.n_maps < 2:
+            return  # everything already fused
+
+        cands = self._detect_fusion_candidates(agent, kf_slot, words, valid,
+                                               vec)
+        for c in cands:
+            t0 = time.perf_counter()
+            closer = self.loop_closers[agent]
+            match = closer.compute_sim3(self.shared, kf_slot, c)
+            sim3_ms = (time.perf_counter() - t0) * 1e3
+            if match is None:
+                continue
+            self._fuse(agent, match, sim3_ms)
+            return
+
+    def _detect_fusion_candidates(self, agent, kf_slot, words, valid, vec):
+        """DetectFusionCandidates (src/MapFusion.cc:96-237): global-database
+        loop query, drop same-map candidates (:135-144), per-agent
+        consistency groups >= 3 (:166-218)."""
+        st = self.shared.state
+        cur_map = self.multimap.map_of(agent)
+        db = kfdb_mod.erase_keyframe(self.db, kf_slot)
+        cand_mask, _ = kfdb_mod.detect_loop_candidates(
+            db, self.vocab, words, valid, vec, st.covis[kf_slot], kf_slot,
+            st.covis, min_score=None)
+        cand = np.nonzero(np.asarray(cand_mask))[0]
+        kf_map = np.asarray(st.kf_map)
+        cand = [int(c) for c in cand if kf_map[c] != cur_map and kf_map[c] >= 0]
+        if not cand:
+            self.consistency[agent] = []
+            return []
+        # consistency groups, per agent (reference keys them per System)
+        covis = np.asarray(st.covis)
+        th = self.cfg.loop.consistency_th
+        new_groups, enough = [], []
+        for c in cand:
+            group = set(np.nonzero(covis[c] > 0)[0].tolist()) | {c}
+            best = 0
+            for (g, count) in self.consistency[agent]:
+                if group & g:
+                    best = max(best, count + 1)
+            new_groups.append((group, best))
+            if best >= th:
+                enough.append(c)
+        self.consistency[agent] = new_groups
+        return enough
+
+    def _fuse(self, agent: int, match: lc.Sim3Match, sim3_ms: float):
+        cfg = self.cfg
+        st = self.shared.state
+        cur_map = self.multimap.map_of(agent)
+        dst_map = int(np.asarray(st.kf_map)[match.kf_match])
+
+        moved = np.nonzero(np.asarray(st.kf_map) == cur_map)[0].tolist()
+        t0 = time.perf_counter()
+        n_moved = fusion.merge_maps(self.shared, self.multimap, match,
+                                    cur_map, dst_map, cfg,
+                                    global_db=self.db, vocab=self.vocab)
+        mf_ms = (time.perf_counter() - t0) * 1e3
+
+        t0 = time.perf_counter()
+        n_cd = fusion.covisibility_discovery(self.shared, self.db, self.vocab,
+                                             moved, cfg)
+        cd_ms = (time.perf_counter() - t0) * 1e3
+
+        gba_ms = 0.0
+        if self.run_gba:
+            t0 = time.perf_counter()
+            self.shared.state = lc.global_bundle_adjustment(self.shared.state,
+                                                            cfg)
+            gba_ms = (time.perf_counter() - t0) * 1e3
+
+        # stats.csv schema equivalent (reference generic_split_seq.cc:140-144)
+        self.stats.append(dict(sim3_ms=sim3_ms, mf_ms=mf_ms, ckf=n_moved,
+                               cd_ms=cd_ms, gba_ms=gba_ms,
+                               cur_map=cur_map, dst_map=dst_map))
+
+    # -- shutdown (reference Shutdown/ShutdownSystems) ---------------------
+
+    def shutdown(self):
+        self.process_new_keyframes()
