@@ -81,7 +81,7 @@ def build_problem(K=256, P=65536, M=8, seed=0):
 
 def main():
     import jax
-    from multiagent_orb_slam2_tpu.optim.ba import ba_solve
+    from multiagent_orb_slam2_tpu.optim.ba import ba_solve_fast as ba_solve
 
     prob, cam = build_problem()
     print(f"devices: {jax.devices()}", file=sys.stderr)

@@ -253,3 +253,232 @@ def outlier_mask(result: BAResult, prob: BAProblem,
     chi2 > threshold or negative depth, src/Optimizer.cc:718-762)."""
     th = jnp.where(prob.obs_stereo, chi2_stereo, chi2_mono)
     return prob.obs_mask & (result.obs_chi2 <= th)
+
+
+# ===========================================================================
+# TPU-tuned fast path (E-major layout + MXU assembly + PCG) — see ba_kernels
+# ===========================================================================
+
+from . import ba_kernels as bk  # noqa: E402
+
+
+def _prepare_e(prob: BAProblem):
+    K = prob.q.shape[0]
+    P, M = prob.obs_kf.shape
+    E = P * M
+    kf_e = jnp.clip(prob.obs_kf, 0, K - 1).reshape(E)
+    active = (prob.obs_mask & (prob.obs_kf >= 0)
+              & prob.point_valid[:, None]).reshape(E).astype(jnp.float32)
+    obs_uvr_t = prob.obs_uvr.transpose(2, 0, 1).reshape(3, E)
+    inv_sigma2_e = prob.obs_inv_sigma2.reshape(E)
+    stereo_e = prob.obs_stereo.reshape(E)
+    return kf_e, active, obs_uvr_t, inv_sigma2_e, stereo_e
+
+
+def _build_and_solve_fast(prob, pre, q, t, pw, cam, lam, delta2_m, delta2_s,
+                          use_huber, chunk, pcg_iters):
+    K = q.shape[0]
+    P, M = prob.obs_kf.shape
+    E = P * M
+    KK = K + 1
+    kf_e, active, obs_uvr_t, inv_sigma2_e, stereo_e = pre
+
+    tm = bk.obs_terms_e(kf_e, obs_uvr_t, inv_sigma2_e, stereo_e, active,
+                        q, t, pw, cam, delta2_m, delta2_s, use_huber)
+    Jc, Jp, r, w = tm.Jc, tm.Jp, tm.r, tm.w
+
+    # --- point blocks (all elementwise over [P] after M-reduction) --------
+    JpP = Jp.reshape(3, 3, P, M)
+    wP = w.reshape(P, M)
+    rP = r.reshape(3, P, M)
+
+    def hpp(a, b):
+        return jnp.sum((JpP[0, a] * JpP[0, b] + JpP[1, a] * JpP[1, b]
+                        + JpP[2, a] * JpP[2, b]) * wP, -1)
+
+    H6 = (hpp(0, 0), hpp(0, 1), hpp(0, 2), hpp(1, 1), hpp(1, 2), hpp(2, 2))
+    Hinv6 = bk.sym3_inv(H6, lam)
+    bp = jnp.stack([
+        -jnp.sum((JpP[0, b] * rP[0] + JpP[1, b] * rP[1]
+                  + JpP[2, b] * rP[2]) * wP, -1) for b in range(3)])  # [3, P]
+
+    # --- W = Jc^T W Jp and Y = W Hpp^-1 (componentwise over E) ------------
+    Wb = jnp.stack([jnp.stack([
+        (Jc[0, a] * Jp[0, c] + Jc[1, a] * Jp[1, c] + Jc[2, a] * Jp[2, c]) * w
+        for c in range(3)]) for a in range(6)])          # [6, 3, E]
+    Hfull = {(0, 0): Hinv6[0], (0, 1): Hinv6[1], (0, 2): Hinv6[2],
+             (1, 0): Hinv6[1], (1, 1): Hinv6[3], (1, 2): Hinv6[4],
+             (2, 0): Hinv6[2], (2, 1): Hinv6[4], (2, 2): Hinv6[5]}
+    HinvE = {k: jnp.repeat(v, M) for k, v in Hfull.items()}
+    Y = jnp.stack([jnp.stack([
+        Wb[a, 0] * HinvE[(0, c)] + Wb[a, 1] * HinvE[(1, c)]
+        + Wb[a, 2] * HinvE[(2, c)] for c in range(3)]) for a in range(6)])
+
+    # --- pose-side terms for the MXU assembly -----------------------------
+    Hterms = jnp.stack([
+        (Jc[0, a] * Jc[0, b] + Jc[1, a] * Jc[1, b] + Jc[2, a] * Jc[2, b]) * w
+        for a in range(6) for b in range(6)])             # [36, E]
+    bterms = jnp.stack([
+        -(Jc[0, a] * r[0] + Jc[1, a] * r[1] + Jc[2, a] * r[2]) * w
+        for a in range(6)])                               # [6, E]
+    Ybp_e = jnp.stack([
+        Y[a, 0] * jnp.repeat(bp[0], M) + Y[a, 1] * jnp.repeat(bp[1], M)
+        + Y[a, 2] * jnp.repeat(bp[2], M) for a in range(6)])  # [6, E]
+
+    # --- chunked one-hot matmul assembly ----------------------------------
+    n_chunks = max(P // chunk, 1)
+    cp = P // n_chunks
+    ce = cp * M
+
+    kf_c = kf_e.reshape(n_chunks, ce)
+    # mask invalid obs into the KK-th (dropped) one-hot row
+    kf_masked = jnp.where(active > 0, kf_e, K).reshape(n_chunks, ce)
+    Y_c = Y.reshape(6, 3, n_chunks, ce)
+    Ht_c = Hterms.reshape(36, n_chunks, ce)
+    bt_c = bterms.reshape(6, n_chunks, ce)
+    Ybp_c = Ybp_e.reshape(6, n_chunks, ce)
+    Wb_c = Wb.reshape(6, 3, n_chunks, ce)
+
+    def chunk_body2(carry, inp):
+        S_acc, rhs_acc, Hcc_acc, bc_acc = carry
+        kf_i, Y_i, Wb_i, Ht_i, bt_i, Ybp_i = inp
+        Of = jax.nn.one_hot(kf_i, KK, dtype=jnp.float32)   # [ce, KK]
+        Hcc_acc = Hcc_acc + jax.lax.dot_general(
+            Ht_i, Of, (((1,), (0,)), ((), ())))
+        bc_acc = bc_acc + jax.lax.dot_general(
+            bt_i, Of, (((1,), (0,)), ((), ())))
+        rhs_acc = rhs_acc + jax.lax.dot_general(
+            Ybp_i, Of, (((1,), (0,)), ((), ())))
+        # per-point factorized cross term:
+        #   U[p, (a,mu), k] = sum_m Of[p*M+m, k] * Y[a, mu, p, m]
+        O3 = Of.reshape(cp, M, KK)
+        Y3 = Y_i.reshape(6, 3, cp, M).transpose(2, 0, 1, 3).reshape(
+            cp, 18, M)
+        W3 = Wb_i.reshape(6, 3, cp, M).transpose(2, 0, 1, 3).reshape(
+            cp, 18, M)
+        U = jax.lax.dot_general(Y3, O3, (((2,), (1,)), ((0,), (0,))))
+        V = jax.lax.dot_general(W3, O3, (((2,), (1,)), ((0,), (0,))))
+        # [cp, 18, KK] -> [(cp*3), (6*KK)] with rows (p, mu), cols (a, k)
+        U2 = U.reshape(cp, 6, 3, KK).transpose(0, 2, 1, 3).reshape(
+            cp * 3, 6 * KK)
+        V2 = V.reshape(cp, 6, 3, KK).transpose(0, 2, 1, 3).reshape(
+            cp * 3, 6 * KK)
+        S_acc = S_acc + jax.lax.dot_general(
+            U2, V2, (((0,), (0,)), ((), ())))              # [6KK, 6KK]
+        return (S_acc, rhs_acc, Hcc_acc, bc_acc), None
+
+    S0 = jnp.zeros((6 * KK, 6 * KK))
+    (S_flat, rhs_p, Hcc_f, bc_f), _ = jax.lax.scan(
+        chunk_body2,
+        (S0, jnp.zeros((6, KK)), jnp.zeros((36, KK)), jnp.zeros((6, KK))),
+        (kf_masked, jnp.moveaxis(Y_c, 2, 0), jnp.moveaxis(Wb_c, 2, 0),
+         jnp.moveaxis(Ht_c, 1, 0), jnp.moveaxis(bt_c, 1, 0),
+         jnp.moveaxis(Ybp_c, 1, 0)))
+
+    Hcc = Hcc_f.reshape(6, 6, KK)[:, :, :K].transpose(2, 0, 1)  # [K, 6, 6]
+    bc = bc_f[:, :K].T                                           # [K, 6]
+    rhs_pose = rhs_p[:, :K].T
+
+    S_blocks = S_flat.reshape(6, KK, 6, KK).transpose(1, 3, 0, 2)[:K, :K]
+    S = -S_blocks
+    S = S.at[jnp.arange(K), jnp.arange(K)].add(Hcc)
+    dd = jnp.diagonal(Hcc, axis1=-2, axis2=-1)
+    S = S.at[jnp.arange(K)[:, None], jnp.arange(K)[:, None],
+             jnp.arange(6)[None, :], jnp.arange(6)[None, :]].add(
+                 lam * dd + 1e-8)
+
+    free = prob.pose_valid & ~prob.pose_fixed
+    S = jnp.where(free[:, None, None, None] & free[None, :, None, None],
+                  S, 0.0)
+    S = S.at[jnp.arange(K), jnp.arange(K)].add(
+        jnp.where(free, 0.0, 1.0)[:, None, None] * jnp.eye(6))
+    rhs = jnp.where(free[:, None], bc - rhs_pose, 0.0)
+
+    S_dense = S.transpose(0, 2, 1, 3).reshape(6 * K, 6 * K)
+    Dinv = jnp.linalg.inv(S[jnp.arange(K), jnp.arange(K)]
+                          + 1e-8 * jnp.eye(6))
+    dc = bk.pcg_solve(S_dense, rhs.reshape(-1), Dinv,
+                      n_iters=pcg_iters).reshape(K, 6)
+    dc = jnp.where(free[:, None], dc, 0.0)
+
+    # --- back-substitution -------------------------------------------------
+    dcT = dc.T                                             # [6, K]
+    dcE = dcT[:, kf_e] * active                            # [6, E]
+    corrE = jnp.stack([
+        Wb[0, c] * dcE[0] + Wb[1, c] * dcE[1] + Wb[2, c] * dcE[2]
+        + Wb[3, c] * dcE[3] + Wb[4, c] * dcE[4] + Wb[5, c] * dcE[5]
+        for c in range(3)])                                # [3, E]
+    corr = jnp.sum(corrE.reshape(3, P, M), -1)
+    rhs_pt = bp - corr                                     # [3, P]
+    dp = jnp.stack([
+        Hfull[(0, 0)] * rhs_pt[0] + Hfull[(0, 1)] * rhs_pt[1]
+        + Hfull[(0, 2)] * rhs_pt[2],
+        Hfull[(1, 0)] * rhs_pt[0] + Hfull[(1, 1)] * rhs_pt[1]
+        + Hfull[(1, 2)] * rhs_pt[2],
+        Hfull[(2, 0)] * rhs_pt[0] + Hfull[(2, 1)] * rhs_pt[1]
+        + Hfull[(2, 2)] * rhs_pt[2]], axis=-1)             # [P, 3]
+    has_obs = jnp.any((prob.obs_mask & (prob.obs_kf >= 0)), axis=-1)
+    dp = jnp.where((prob.point_valid & has_obs)[:, None], dp, 0.0)
+    return dc, dp, tm.cost
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cam", "n_iters", "use_huber", "chunk",
+                                    "pcg_iters"))
+def ba_solve_fast(prob: BAProblem, cam: Intrinsics, n_iters: int = 10,
+                  use_huber: bool = True, chi2_mono: float = 5.991,
+                  chi2_stereo: float = 7.815, chunk: int = 4096,
+                  pcg_iters: int = 48) -> BAResult:
+    """TPU-tuned ba_solve: identical semantics, E-major kernels + PCG."""
+    pre = _prepare_e(prob)
+    kf_e, active, obs_uvr_t, inv_sigma2_e, stereo_e = pre
+
+    def cost_fn(q, t, pw):
+        return bk.cost_e(kf_e, obs_uvr_t, inv_sigma2_e, stereo_e, active,
+                         q, t, pw, cam, chi2_mono, chi2_stereo, use_huber)
+
+    # Deferred-accept LM: one observation pass per iteration. The build at
+    # the current parameters yields the robust cost there, which doubles as
+    # the accept test for the PREVIOUS step: if it increased the cost, revert
+    # to the backup and raise lambda (the build at the bad point is
+    # discarded — rejects are rare, so this halves steady-state obs work
+    # vs. the classic build+evaluate scheme).
+    def body(_, carry):
+        q, t, pw, qb, tb, pwb, cost_prev, lam = carry
+        dc, dp, cost_here = _build_and_solve_fast(
+            prob, pre, q, t, pw, cam, lam, chi2_mono, chi2_stereo,
+            use_huber, chunk, pcg_iters)
+        improved = cost_here <= cost_prev
+        lam = jnp.clip(jnp.where(improved, lam * 0.5, lam * 5.0), 1e-8, 1e4)
+
+        dq, dt = se3.se3_exp(dc)
+        q_step, t_step = se3.compose(dq, dt, q, t)
+        q_step = se3.quat_normalize(q_step)
+        pw_step = pw + dp
+
+        # improved: keep current as backup, apply the fresh step
+        # regressed: discard the step, revert to backup
+        q_next = jnp.where(improved, q_step, qb)
+        t_next = jnp.where(improved, t_step, tb)
+        pw_next = jnp.where(improved, pw_step, pwb)
+        qb = jnp.where(improved, q, qb)
+        tb = jnp.where(improved, t, tb)
+        pwb = jnp.where(improved, pw, pwb)
+        cost_prev = jnp.minimum(cost_here, cost_prev)
+        return q_next, t_next, pw_next, qb, tb, pwb, cost_prev, lam
+
+    init = (prob.q, prob.t, prob.pw, prob.q, prob.t, prob.pw,
+            jnp.asarray(jnp.inf), jnp.asarray(1e-4))
+    q, t, pw, qb, tb, pwb, cost_prev, _ = jax.lax.fori_loop(
+        0, n_iters, body, init)
+    # final accept check for the last applied step
+    cost_final, _ = cost_fn(q, t, pw)
+    take_last = cost_final <= cost_prev
+    q = jnp.where(take_last, q, qb)
+    t = jnp.where(take_last, t, tb)
+    pw = jnp.where(take_last, pw, pwb)
+
+    cost, chi2 = cost_fn(q, t, pw)
+    P, M = prob.obs_kf.shape
+    return BAResult(q=q, t=t, pw=pw, cost=cost,
+                    obs_chi2=chi2.reshape(P, M), n_iters=jnp.asarray(n_iters))

@@ -442,8 +442,8 @@ def global_bundle_adjustment(st: ms.MapState, cfg: SlamConfig,
         obs_stereo=ur >= 0,
         obs_mask=obs_mask,
     )
-    res = ba_mod.ba_solve(prob, cfg.camera, n_iters=n_iters, use_huber=True,
-                          chunk=steps._ba_chunk(P))
+    res = ba_mod.ba_solve_fast(prob, cfg.camera, n_iters=n_iters,
+                               use_huber=True, chunk=steps._ba_chunk(P))
     return st._replace(
         kf_q=jnp.where((st.kf_valid & ~st.kf_fixed_origin)[:, None], res.q,
                        st.kf_q),

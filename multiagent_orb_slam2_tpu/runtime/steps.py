@@ -325,12 +325,12 @@ def local_ba_step(state: ms.MapState, center_kf, cfg: SlamConfig,
         obs_stereo=ur >= 0,
         obs_mask=obs_mask,
     )
-    res = ba_mod.ba_solve(prob, cfg.camera, n_iters=n_iters1, use_huber=True,
-                          chunk=_ba_chunk(P))
+    res = ba_mod.ba_solve_fast(prob, cfg.camera, n_iters=n_iters1,
+                               use_huber=True, chunk=_ba_chunk(P))
     keep = ba_mod.outlier_mask(res, prob)
     prob2 = prob._replace(q=res.q, t=res.t, pw=res.pw, obs_mask=keep)
-    res2 = ba_mod.ba_solve(prob2, cfg.camera, n_iters=n_iters2,
-                           use_huber=False, chunk=_ba_chunk(P))
+    res2 = ba_mod.ba_solve_fast(prob2, cfg.camera, n_iters=n_iters2,
+                                use_huber=False, chunk=_ba_chunk(P))
     keep2 = ba_mod.outlier_mask(res2, prob2)
 
     # write back optimized poses/points
