@@ -384,3 +384,115 @@ def recompute_covisibility(state: ms.MapState):
     idx_c = idx.reshape(n_chunks, -1, O, O)
     covis, _ = jax.lax.scan(body, jnp.zeros(K * K, jnp.int32), idx_c)
     return state._replace(covis=covis.reshape(K, K))
+
+
+# ---------------------------------------------------------------------------
+# Triangulation of new map points (LocalMapping::CreateNewMapPoints)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def triangulate_pair_step(state: ms.MapState, kf1, kf2, mp_base,
+                          cfg: SlamConfig):
+    """Triangulate new points between two keyframes (reference
+    src/LocalMapping.cc:213-458 + SearchForTriangulation
+    src/ORBmatcher.cc:659): epipolar-constrained matching of features that
+    have no map point yet, batched DLT triangulation, parallax / depth /
+    reprojection / scale gates, then registration in both keyframes.
+
+    Returns (state, n_new). Slots allocated from mp_base.
+    """
+    from ..geometry.twoview import triangulate_batch
+    K, F, P, O = state.caps
+    cam = cfg.camera
+
+    q1, t1 = state.kf_q[kf1], state.kf_t[kf1]
+    q2, t2 = state.kf_q[kf2], state.kf_t[kf2]
+
+    # fundamental matrix F12: x2^T F12 x1 = 0 -> lines in image 2
+    q12, t12 = se3.relative(q2, t2, q1, t1)      # T_2<-1
+    R12 = se3.quat_to_matrix(q12)
+    E12 = se3.hat(t12) @ R12
+    Kmat = cam.K
+    Kinv = jnp.linalg.inv(Kmat)
+    F12 = Kinv.T @ E12 @ Kinv
+
+    free1 = state.kf_feat_valid[kf1] & (state.kf_mp[kf1] < 0)
+    free2 = state.kf_feat_valid[kf2] & (state.kf_mp[kf2] < 0)
+
+    res = matchers.search_epipolar(
+        state.kf_desc[kf1], state.kf_xy[kf1], state.kf_level[kf1], free1,
+        state.kf_desc[kf2], state.kf_xy[kf2], state.kf_level[kf2], free2,
+        F12, cfg.orb.scale_factors, th=cfg.matcher.th_low)
+    frame_assign, res = matchers.resolve_conflicts(res, F)
+    ok = res.ok
+    f2 = jnp.clip(res.best_feat, 0, F - 1)
+
+    # triangulate in world frame with projective camera matrices
+    T1 = jnp.concatenate([se3.quat_to_matrix(q1), t1[:, None]], -1)
+    T2 = jnp.concatenate([se3.quat_to_matrix(q2), t2[:, None]], -1)
+    P1 = Kmat @ T1
+    P2 = Kmat @ T2
+    x1 = state.kf_xy[kf1]
+    x2 = state.kf_xy[kf2][f2]
+    pw = triangulate_batch(P1, P2, x1, x2)               # [F, 3]
+
+    # gates (reference :359-437)
+    pc1 = se3.apply(q1, t1, pw)
+    pc2 = se3.apply(q2, t2, pw)
+    z_ok = (pc1[:, 2] > 0.05) & (pc2[:, 2] > 0.05)
+
+    def reproj_err2(pc, x, level, kf_right, depth_kf, feat):
+        z = jnp.maximum(pc[:, 2], 1e-6)
+        u = cam.fx * pc[:, 0] / z + cam.cx
+        v = cam.fy * pc[:, 1] / z + cam.cy
+        e2 = (u - x[:, 0]) ** 2 + (v - x[:, 1]) ** 2
+        sigma2 = jnp.asarray(cfg.orb.scale_factors)[level] ** 2
+        return e2 / sigma2
+
+    e1 = reproj_err2(pc1, x1, state.kf_level[kf1], None, None, None)
+    e2 = reproj_err2(pc2, x2, state.kf_level[kf2][f2], None, None, None)
+    reproj_ok = (e1 < 5.991) & (e2 < 5.991)
+
+    # parallax: rays from both camera centers
+    _, c1 = se3.inverse(q1, t1)
+    _, c2 = se3.inverse(q2, t2)
+    r1 = pw - c1
+    r2 = pw - c2
+    cosp = jnp.sum(r1 * r2, -1) / jnp.maximum(
+        jnp.linalg.norm(r1, axis=-1) * jnp.linalg.norm(r2, axis=-1), 1e-9)
+    par_ok = cosp < 0.9998
+
+    # scale consistency (reference ratioDist vs ratioOctave :416-437)
+    sf = jnp.asarray(cfg.orb.scale_factors)
+    d1 = jnp.linalg.norm(r1, axis=-1)
+    d2 = jnp.linalg.norm(r2, axis=-1)
+    ratio_d = d2 / jnp.maximum(d1, 1e-9)
+    ratio_o = sf[state.kf_level[kf1]] / sf[state.kf_level[kf2][f2]]
+    scale_ok = (ratio_d < ratio_o * 1.5 * cfg.orb.scale_factor) \
+        & (ratio_d * 1.5 * cfg.orb.scale_factor > ratio_o)
+
+    new = ok & z_ok & reproj_ok & par_ok & scale_ok
+    slots = mp_base + jnp.cumsum(new.astype(jnp.int32)) - 1
+    slots = jnp.where(new & (slots < P), slots, NONE)
+    okslot = slots >= 0
+
+    # point attributes from the kf1 observation
+    v = pw - c1
+    dist = jnp.maximum(jnp.linalg.norm(v, axis=-1), 1e-9)
+    normal = v / dist[:, None]
+    max_d = dist * sf[state.kf_level[kf1]]
+    min_d = max_d / sf[-1]
+    state = ms.add_points(state, slots, pw, state.kf_desc[kf1], normal,
+                          min_d, max_d,
+                          ref_kf=jnp.full((F,), kf1, jnp.int32),
+                          agent=jnp.full((F,), state.kf_agent[kf1], jnp.int32),
+                          map_id=jnp.full((F,), state.kf_map[kf1], jnp.int32),
+                          valid=okslot)
+    feat_idx = jnp.arange(F, dtype=jnp.int32)
+    state = ms.add_observations(state, kf1, feat_idx,
+                                jnp.where(okslot, slots, NONE), okslot)
+    state = ms.add_observations(state, kf2, f2,
+                                jnp.where(okslot, slots, NONE), okslot)
+    state = ms.update_covisibility(state, kf1)
+    state = ms.update_covisibility(state, kf2)
+    return state, jnp.sum(okslot.astype(jnp.int32))
