@@ -1,0 +1,107 @@
+"""Shared driver plumbing: config loading, vocabulary handling, stats output."""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+from ..config import SlamConfig, Sensor, from_yaml_dict
+from ..vocab import bow as bow_mod
+
+
+SENSOR_OF = {"mono": Sensor.MONOCULAR, "stereo": Sensor.STEREO,
+             "rgbd": Sensor.RGBD}
+
+
+def load_settings(path: str, sensor: int) -> SlamConfig:
+    """Load a reference-style YAML settings file (cv::FileStorage syntax) or
+    a JSON dict of the same keys."""
+    if path.endswith(".json"):
+        with open(path) as f:
+            d = json.load(f)
+    else:
+        d = _parse_opencv_yaml(path)
+    return from_yaml_dict(d, sensor=sensor)
+
+
+def _parse_opencv_yaml(path: str) -> dict:
+    """Minimal parser for the reference's flat 'Key.Sub: value' YAML files
+    (e.g. Examples/Stereo/KITTI00-02.yaml). Nested matrices are skipped."""
+    out = {}
+    with open(path) as f:
+        for line in f:
+            line = line.split("#")[0].strip()
+            if not line or line.startswith("%") or ":" not in line:
+                continue
+            key, _, val = line.partition(":")
+            val = val.strip()
+            if not val or val.startswith(("!", "[", "{")):
+                continue
+            try:
+                out[key.strip()] = float(val)
+            except ValueError:
+                out[key.strip()] = val
+    return out
+
+
+def get_vocabulary(path: str, sequences=None, cfg: SlamConfig = None,
+                   n_frames: int = 30) -> bow_mod.Vocabulary:
+    """Load a vocabulary, or train one from sample frames and cache it
+    (the reference ships ORBvoc.txt; this engine trains its own — see
+    vocab/__init__)."""
+    if path and os.path.exists(path):
+        return bow_mod.load_vocabulary(path)
+    if sequences is None:
+        raise FileNotFoundError(f"vocabulary {path} not found and no "
+                                "training data given")
+    import jax.numpy as jnp
+    from ..ops import frame as frame_mod
+    descs = []
+    for seq in sequences:
+        step = max(len(seq) // n_frames, 1)
+        for i in range(0, len(seq), step):
+            left, right, depth = seq.load(i)
+            f = frame_mod.extract_frame(jnp.asarray(left), cfg)
+            v = np.asarray(f.valid)
+            descs.append(np.asarray(f.desc)[v])
+    vocab = bow_mod.train_vocabulary(np.concatenate(descs), k=10, depth=4)
+    if path:
+        bow_mod.save_vocabulary(vocab, path)
+    return vocab
+
+
+class FrameTimer:
+    """Per-frame timing + mean/median printout (the reference drivers print
+    'mean tracking time' / 'median tracking time',
+    generic_split_seq.cc:377-381)."""
+
+    def __init__(self):
+        self.times = []
+
+    def __enter__(self):
+        self._t0 = time.perf_counter()
+        return self
+
+    def __exit__(self, *a):
+        self.times.append(time.perf_counter() - self._t0)
+
+    def report(self, label="tracking"):
+        if not self.times:
+            return
+        ts = sorted(self.times)
+        print(f"median {label} time: {ts[len(ts) // 2] * 1e3:.1f} ms")
+        print(f"mean {label} time:   {np.mean(ts) * 1e3:.1f} ms")
+
+
+def write_fusion_stats(path: str, stats: list):
+    """stats.csv with the reference's schema (generic_split_seq.cc:140-144:
+    sim3, mf, ckf, cmp, mkf, mmp, cd..., gba in microseconds)."""
+    with open(path, "w") as f:
+        f.write("sim3,mf,ckf,cmp,mkf,mmp,cd,cdsum,cdmean,cdstdev,cdmed,gba\n")
+        for s in stats:
+            f.write(f"{s['sim3_ms'] * 1e3:.0f},{s['mf_ms'] * 1e3:.0f},"
+                    f"{s['ckf']},0,0,0,{s['cd_ms'] * 1e3:.0f},0,0,0,0,"
+                    f"{s['gba_ms'] * 1e3:.0f}\n")

@@ -20,6 +20,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import SlamConfig
 from ..geometry import se3
@@ -210,3 +211,74 @@ def local_mapping_pass(state: ms.MapState, kf_slot: int, cfg: SlamConfig):
     state = ms.update_point_normals(state, touched, cfg.orb.scale_factor,
                                     cfg.orb.n_levels)
     return state
+
+
+# ---------------------------------------------------------------------------
+# Keyframe culling (LocalMapping::KeyFrameCulling)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def kf_redundancy(state: ms.MapState, kf_slot, cfg: SlamConfig):
+    """Fraction of a keyframe's tracked points that are observed by at least
+    3 OTHER keyframes at the same or finer pyramid level (reference
+    src/LocalMapping.cc:636-706: the 90% redundancy rule)."""
+    K, F, P, O = state.caps
+    mp = state.kf_mp[kf_slot]
+    mp_ok = (mp >= 0) & state.kf_feat_valid[kf_slot]
+    mp_c = jnp.clip(mp, 0, P - 1)
+    own_level = state.kf_level[kf_slot]
+
+    obs_kf = state.mp_obs_kf[mp_c]                     # [F, O]
+    obs_ft = jnp.clip(state.mp_obs_feat[mp_c], 0, F - 1)
+    obs_valid = (obs_kf >= 0) & (obs_kf != kf_slot)
+    obs_level = state.kf_level[jnp.clip(obs_kf, 0, K - 1), obs_ft]
+    fine = obs_valid & (obs_level <= own_level[:, None] + 1)
+    n_fine = jnp.sum(fine, axis=-1)
+    redundant = mp_ok & (n_fine >= cfg.mapping.kf_cull_min_obs)
+    n_tracked = jnp.sum(mp_ok)
+    ratio = jnp.sum(redundant) / jnp.maximum(n_tracked, 1)
+    return ratio, n_tracked
+
+
+@functools.partial(jax.jit)
+def erase_keyframe_step(state: ms.MapState, kf_slot):
+    """SetBadFlag (reference src/KeyFrame.cc): drop the keyframe, detach its
+    observations, reattach its spanning-tree children to its parent."""
+    K, F, P, O = state.caps
+    parent = state.kf_parent[kf_slot]
+    children = state.kf_parent == kf_slot
+    kf_parent = jnp.where(children, parent, state.kf_parent)
+    kf_parent = kf_parent.at[kf_slot].set(NONE)
+    return state._replace(
+        kf_valid=state.kf_valid.at[kf_slot].set(False),
+        kf_mp=state.kf_mp.at[kf_slot].set(NONE),
+        kf_feat_valid=state.kf_feat_valid.at[kf_slot].set(False),
+        kf_parent=kf_parent,
+        covis=state.covis.at[kf_slot, :].set(0).at[:, kf_slot].set(0),
+    )
+
+
+def keyframe_culling(state: ms.MapState, center_kf: int, cfg: SlamConfig,
+                     max_cull: int = 3):
+    """Cull redundant covisibility neighbors of a fresh keyframe (the
+    reference checks the new KF's local neighbors after local BA,
+    src/LocalMapping.cc:101-106, :636). Origin keyframes are exempt
+    (:647-650). Returns (state, culled_slot_list)."""
+    row = np.asarray(state.covis[center_kf])
+    fixed = np.asarray(state.kf_fixed_origin)
+    valid = np.asarray(state.kf_valid)
+    culled = []
+    for k in np.argsort(-row):
+        if len(culled) >= max_cull or row[k] <= 0:
+            break
+        if fixed[k] or not valid[k] or k == center_kf:
+            continue
+        ratio, n_tracked = kf_redundancy(state, int(k), cfg)
+        if float(ratio) > cfg.mapping.kf_cull_redundancy \
+                and int(n_tracked) > 20:
+            state = erase_keyframe_step(state, int(k))
+            culled.append(int(k))
+    if culled:
+        state = rebuild_observations(state)
+        state = steps.recompute_covisibility(state)
+    return state, culled

@@ -496,3 +496,69 @@ def triangulate_pair_step(state: ms.MapState, kf1, kf2, mp_base,
     state = ms.update_covisibility(state, kf1)
     state = ms.update_covisibility(state, kf2)
     return state, jnp.sum(okslot.astype(jnp.int32))
+
+
+# ---------------------------------------------------------------------------
+# Monocular initialization (Tracking::CreateInitialMapMonocular)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def mono_init_map_step(state: ms.MapState, ref_feats: FrameFeatures,
+                       cur_feats: FrameFeatures, q2, t2, points, tri_ok,
+                       ref_feat_idx, cur_feat_idx, frame_id0, frame_id1,
+                       agent, map_id, kf_slot0, kf_slot1, mp_base,
+                       cfg: SlamConfig):
+    """Build the initial monocular map from a verified two-view
+    reconstruction (reference CreateInitialMapMonocular,
+    src/Tracking.cc:650-750): two keyframes, triangulated points, and
+    median-depth normalization so the map starts at unit scale.
+
+    points: [N, 3] in the reference (first) camera frame == world frame.
+    tri_ok: [N] bool; ref/cur_feat_idx: [N] feature indices in each frame.
+    Returns (state, frame_mp_cur, scale, n_points).
+    """
+    K, F, P, O = state.caps
+    # median depth normalization (src/Tracking.cc:702-726)
+    z = jnp.where(tri_ok, points[:, 2], jnp.nan)
+    med = jnp.nanmedian(z)
+    scale = 1.0 / jnp.maximum(med, 1e-6)
+    pts = points * scale
+    t2s = t2 * scale
+
+    q1 = jnp.array([1.0, 0.0, 0.0, 0.0])
+    t1 = jnp.zeros(3)
+
+    n = points.shape[0]
+    slots = mp_base + jnp.cumsum(tri_ok.astype(jnp.int32)) - 1
+    slots = jnp.where(tri_ok & (slots < P), slots, NONE)
+    okslot = slots >= 0
+
+    ref_i = jnp.clip(ref_feat_idx, 0, F - 1)
+    desc = ref_feats.desc[ref_i]
+    dist = jnp.maximum(jnp.linalg.norm(pts, axis=-1), 1e-9)
+    normal = pts / dist[:, None]
+    sf = jnp.asarray(cfg.orb.scale_factors)
+    level = ref_feats.level[ref_i]
+    max_d = dist * sf[level]
+    min_d = max_d / sf[-1]
+    state = ms.add_points(state, slots, pts, desc, normal, min_d, max_d,
+                          ref_kf=jnp.full((n,), kf_slot0, jnp.int32),
+                          agent=jnp.full((n,), agent, jnp.int32),
+                          map_id=jnp.full((n,), map_id, jnp.int32),
+                          valid=okslot)
+
+    # frame->point assignments for both keyframes
+    fm0 = jnp.full((F,), NONE, jnp.int32).at[
+        jnp.where(okslot, ref_i, F)].set(jnp.where(okslot, slots, NONE),
+                                         mode="drop")
+    cur_i = jnp.clip(cur_feat_idx, 0, F - 1)
+    fm1 = jnp.full((F,), NONE, jnp.int32).at[
+        jnp.where(okslot, cur_i, F)].set(jnp.where(okslot, slots, NONE),
+                                         mode="drop")
+
+    state = ms.insert_keyframe(state, kf_slot0, ref_feats, q1, t1, frame_id0,
+                               agent, map_id, fm0, parent=NONE,
+                               fixed_origin=True)
+    state = ms.insert_keyframe(state, kf_slot1, cur_feats, q2, t2s, frame_id1,
+                               agent, map_id, fm1, parent=kf_slot0)
+    return state, fm1, scale, jnp.sum(okslot.astype(jnp.int32))

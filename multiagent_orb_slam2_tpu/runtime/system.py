@@ -1,0 +1,198 @@
+"""Per-agent System facade: tracking + loop closing + relocalization +
+trajectory export + checkpointing.
+
+Replaces the reference System (src/System.cc): the constructor there loads
+the vocabulary, builds KFDB/Map/drawers and spawns the LocalMapping /
+LoopClosing / Viewer threads (:32-117); here the subsystems are synchronous
+phases over the shared array state. TrackMonocular/TrackStereo/TrackRGBD
+(:187-339), SaveTrajectoryTUM/KITTI (:390-540) and the map-save TODO
+(include/System.h:145-147) all have direct equivalents.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SlamConfig, Sensor
+from ..geometry import epnp, se3
+from ..io import trajectory as traj_mod
+from ..mapstate import checkpoint as ckpt
+from ..mapstate import state as ms
+from ..ops import frame as frame_mod
+from ..ops import matchers
+from ..optim import pose_opt
+from ..vocab import bow as bow_mod
+from ..vocab import kfdb as kfdb_mod
+from . import loop_closing as lc
+from . import steps
+from .tracker import SharedMap, Tracker, TrackerState
+
+
+class System:
+    """Single-agent SLAM engine (multi-agent setups go through
+    server.MultiAgentServer, which owns the Tracker/LoopCloser pairs)."""
+
+    def __init__(self, cfg: SlamConfig, vocab: bow_mod.Vocabulary,
+                 shared: Optional[SharedMap] = None, agent: int = 0,
+                 enable_loop_closing: bool = True, run_gba: bool = True):
+        self.cfg = cfg
+        self.vocab = vocab
+        self.shared = shared or SharedMap(cfg)
+        self.tracker = Tracker(cfg, self.shared, agent=agent, map_id=agent)
+        self.loop_closer = lc.LoopCloser(cfg, vocab)
+        self.enable_loop_closing = enable_loop_closing
+        self.run_gba = run_gba
+        self.n_relocalizations = 0
+
+    # -- tracking entry points (reference System::Track*) ------------------
+
+    def track_stereo(self, left, right, frame_id=None):
+        feats = frame_mod.extract_frame(jnp.asarray(left), self.cfg,
+                                        right_img=jnp.asarray(right))
+        return self._track(feats, frame_id)
+
+    def track_rgbd(self, img, depth, frame_id=None):
+        feats = frame_mod.extract_frame(jnp.asarray(img), self.cfg,
+                                        depth_map=jnp.asarray(depth))
+        return self._track(feats, frame_id)
+
+    def track_mono(self, img, frame_id=None):
+        feats = frame_mod.extract_frame(jnp.asarray(img), self.cfg)
+        return self._track(feats, frame_id)
+
+    def _track(self, feats, frame_id):
+        out = self.tracker.track_features(feats, frame_id)
+        if self.tracker.state == TrackerState.LOST:
+            if self._relocalize(feats):
+                out = (self.tracker.last_q, self.tracker.last_t)
+        self._process_keyframes()
+        return out
+
+    def _process_keyframes(self):
+        while self.tracker.culled_kf_slots:
+            k = self.tracker.culled_kf_slots.pop(0)
+            self.loop_closer.db = kfdb_mod.erase_keyframe(self.loop_closer.db,
+                                                          k)
+        while self.tracker.new_kf_slots:
+            kf_slot = self.tracker.new_kf_slots.pop(0)
+            if not self.enable_loop_closing:
+                # still register in the database for relocalization
+                st = self.shared.state
+                self.loop_closer.db, _, _ = kfdb_mod.add_keyframe(
+                    self.loop_closer.db, self.vocab, kf_slot,
+                    st.kf_desc[kf_slot], st.kf_feat_valid[kf_slot])
+                continue
+            match = self.loop_closer.process_keyframe(self.shared, kf_slot)
+            if match is not None:
+                self.loop_closer.correct_loop(self.shared, match,
+                                              run_gba=self.run_gba)
+
+    # -- relocalization (Tracking::Relocalization src/Tracking.cc:1359-1520)
+
+    def _relocalize(self, feats) -> bool:
+        st = self.shared.state
+        cfg = self.cfg
+        words = bow_mod.transform_words(self.vocab, feats.desc, feats.valid)
+        vec = bow_mod.bow_vector(self.vocab, words, feats.valid)
+        cand_mask, scores = kfdb_mod.detect_reloc_candidates(
+            self.loop_closer.db, words, feats.valid, vec, st.covis)
+        cands = np.nonzero(np.asarray(cand_mask))[0]
+        order = np.argsort(-np.asarray(scores)[cands])
+        P = st.mp_pos.shape[0]
+        sf = jnp.asarray(cfg.orb.scale_factors)
+        for c in cands[order][:5]:
+            c = int(c)
+            kf_mp = st.kf_mp[c]
+            qmask = (kf_mp >= 0) & st.kf_feat_valid[c] \
+                & st.mp_valid[jnp.clip(kf_mp, 0, P - 1)]
+            res = matchers.match_brute(st.kf_desc[c], qmask, feats.desc,
+                                       feats.valid, th=cfg.matcher.th_low,
+                                       nn_ratio=0.75)
+            if int(jnp.sum(res.ok)) < 15:
+                continue
+            sel = res.ok
+            mp = jnp.clip(kf_mp, 0, P - 1)
+            pw = st.mp_pos[mp]
+            feat = jnp.clip(res.best_feat, 0, feats.xy.shape[0] - 1)
+            uv = feats.xy[feat]
+            sigma2 = sf[feats.level[feat]] ** 2
+            rr = epnp.epnp_ransac(pw, uv, sigma2, sel, cfg.camera,
+                                  jax.random.PRNGKey(c), n_iters=200)
+            if not bool(rr.ok):
+                continue
+            # polish with robust pose optimization over the matches
+            obs = pose_opt.PoseObs(
+                pw=pw,
+                obs=jnp.concatenate([uv, feats.u_right[feat][:, None]], -1),
+                inv_sigma2=1.0 / sigma2,
+                is_stereo=feats.u_right[feat] >= 0,
+                mask=sel & rr.inliers)
+            q, t, inlier, n = pose_opt.pose_optimize(rr.q, rr.t, obs,
+                                                     cfg.camera,
+                                                     cfg.optimizer)
+            if int(n) < cfg.tracking.reloc_min_inliers:
+                continue
+            # success: adopt the pose, rebuild the frame association
+            F = feats.xy.shape[0]
+            frame_mp = jnp.full((F,), ms.NONE, jnp.int32).at[
+                jnp.where(inlier, feat, F)].set(
+                    jnp.where(inlier, kf_mp, ms.NONE), mode="drop")
+            tr = self.tracker
+            tr.state = TrackerState.OK
+            tr.last_q, tr.last_t = q, t
+            tr.last_feats = feats
+            tr.last_frame_mp = frame_mp
+            tr.ref_kf = c
+            tr.has_velocity = False
+            if tr.trajectory:
+                tr.trajectory[-1].q = np.asarray(q)
+                tr.trajectory[-1].t = np.asarray(t)
+                tr.trajectory[-1].lost = False
+            self.n_relocalizations += 1
+            return True
+        return False
+
+    # -- export / checkpoint ----------------------------------------------
+
+    def save_trajectory_tum(self, path, timestamps=None):
+        traj_mod.write_tum(path, self.tracker.trajectory_tum(timestamps))
+
+    def save_trajectory_kitti(self, path):
+        mats = []
+        for rec in self.tracker.trajectory:
+            q_wc, t_wc = se3.inverse(jnp.asarray(rec.q), jnp.asarray(rec.t))
+            T = np.asarray(se3.to_matrix44(q_wc, t_wc))[:3]
+            mats.append(T)
+        traj_mod.write_kitti(path, np.stack(mats))
+
+    def save_keyframe_trajectory_tum(self, path, timestamps=None):
+        st = self.shared.state
+        rows = []
+        for k in np.nonzero(np.asarray(st.kf_valid))[0]:
+            fid = int(st.kf_frame_id[k])
+            ts = timestamps[fid] if timestamps is not None else float(fid)
+            q_wc, t_wc = se3.inverse(st.kf_q[k], st.kf_t[k])
+            q_wc, t_wc = np.asarray(q_wc), np.asarray(t_wc)
+            rows.append((ts, *t_wc, q_wc[1], q_wc[2], q_wc[3], q_wc[0]))
+        traj_mod.write_tum(path, rows)
+
+    def save_map(self, path):
+        ckpt.save_map(path, self.shared.state, self.shared.n_kf,
+                      self.shared.n_mp)
+
+    def load_map(self, path):
+        state, meta = ckpt.load_map(path)
+        self.shared.state = state
+        self.shared.n_kf = meta["n_kf"]
+        self.shared.n_mp = meta["n_mp"]
+        # refresh the relocalization database from the restored keyframes
+        for k in np.nonzero(np.asarray(state.kf_valid))[0]:
+            self.loop_closer.db, _, _ = kfdb_mod.add_keyframe(
+                self.loop_closer.db, self.vocab, int(k),
+                state.kf_desc[int(k)], state.kf_feat_valid[int(k)])
+
+    def shutdown(self):
+        self._process_keyframes()

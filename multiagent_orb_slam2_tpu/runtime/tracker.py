@@ -85,13 +85,18 @@ class Tracker:
         self.last_kf_frame = -1
         self.frame_id = -1
         self.trajectory: list[FrameRecord] = []
-        self.new_kf_slots: list[int] = []   # queue for loop-closing stage
+        self.new_kf_slots: list[int] = []    # queue for loop-closing stage
+        self.culled_kf_slots: list[int] = []  # for database erasure upstream
 
     # -- public API (System::TrackStereo / TrackRGBD equivalents) ---------
 
     def track_stereo(self, img_left, img_right, frame_id: Optional[int] = None):
         feats = frame_mod.extract_frame(jnp.asarray(img_left), self.cfg,
                                         right_img=jnp.asarray(img_right))
+        return self._track(feats, frame_id)
+
+    def track_mono(self, img, frame_id: Optional[int] = None):
+        feats = frame_mod.extract_frame(jnp.asarray(img), self.cfg)
         return self._track(feats, frame_id)
 
     def track_rgbd(self, img, depth, frame_id: Optional[int] = None):
@@ -115,6 +120,17 @@ class Tracker:
 
         q_pred, t_pred = self._predict_pose()
         sh = self.shared
+
+        if self.state == TrackerState.LOST:
+            # reference semantics: once lost, only relocalization recovers
+            # (src/Tracking.cc:331); the System facade owns that step.
+            # Dead-reckon so the trajectory stays continuous.
+            self.last_q, self.last_t = q_pred, t_pred
+            self.last_feats = feats
+            self.last_frame_mp = jnp.full((self.cfg.caps.max_features,),
+                                          ms.NONE, jnp.int32)
+            self._record(lost=True)
+            return None
 
         tr = steps.track_motion_model_step(
             sh.state, feats, self.last_feats, self.last_frame_mp,
@@ -169,8 +185,7 @@ class Tracker:
 
     def _initialize(self, feats) -> bool:
         if self.cfg.sensor == Sensor.MONOCULAR:
-            raise NotImplementedError(
-                "monocular init lands with the two-view bootstrap stage")
+            return self._initialize_mono(feats)
         # reference requires 500 keypoints (src/Tracking.cc:523); scaled-down
         # test scenes use smaller budgets, so gate on usable depth instead
         n_depth = int(jnp.sum(feats.valid & (feats.depth > 0)))
@@ -190,6 +205,72 @@ class Tracker:
         self.ref_kf = kf_slot
         self.last_kf_frame = self.frame_id
         self.new_kf_slots.append(kf_slot)
+        return True
+
+    def _initialize_mono(self, feats) -> bool:
+        """Two-view monocular bootstrap (MonocularInitialization
+        src/Tracking.cc:576-648 + SearchForInitialization
+        src/ORBmatcher.cc:407): windowed matching to a stored reference
+        frame, H/F RANSAC, initial map with median-depth normalization."""
+        from ..geometry import twoview
+        from ..ops import matchers
+        import jax
+
+        n_feat = int(jnp.sum(feats.valid))
+        ref = getattr(self, "mono_init_ref", None)
+        if ref is None or n_feat < 100:
+            if n_feat >= 100:
+                self.mono_init_ref = (feats, self.frame_id)
+            return False
+        ref_feats, ref_frame_id = ref
+
+        res = matchers.match_window(
+            feats, ref_feats.desc, ref_feats.valid, ref_feats.xy,
+            radius=100.0, th=self.cfg.matcher.th_low, nn_ratio=0.9)
+        frame_assign, res = matchers.resolve_conflicts(
+            res, self.cfg.caps.max_features)
+        n_matches = int(jnp.sum(res.ok))
+        if n_matches < 100:
+            self.mono_init_ref = (feats, self.frame_id)  # reset (reference)
+            return False
+
+        F = self.cfg.caps.max_features
+        ok = res.ok
+        cur_idx = jnp.clip(res.best_feat, 0, F - 1)
+        x1 = ref_feats.xy
+        x2 = feats.xy[cur_idx]
+        tv = twoview.initialize_two_view(
+            x1, x2, ok, self.cfg.camera,
+            jax.random.PRNGKey(self.frame_id))
+        if not bool(tv.ok):
+            return False
+
+        sh = self.shared
+        kf0 = sh.alloc_kf()
+        kf1 = sh.alloc_kf()
+        tri_ok = tv.inliers & ok
+        sh.state, frame_mp, scale, n_pts = steps.mono_init_map_step(
+            sh.state, ref_feats, feats, tv.q, tv.t, tv.points, tri_ok,
+            jnp.arange(F, dtype=jnp.int32), cur_idx,
+            ref_frame_id, self.frame_id, self.agent, self.map_id,
+            kf0, kf1, sh.mp_base(), self.cfg)
+        sh.commit_mp(int(n_pts))
+        if int(n_pts) < 80:
+            return False
+
+        # initial global BA (reference: 20 iterations, src/Tracking.cc:699)
+        from . import loop_closing as lc
+        sh.state = lc.global_bundle_adjustment(sh.state, self.cfg, n_iters=20)
+
+        self.state = TrackerState.OK
+        self.last_q = sh.state.kf_q[kf1]
+        self.last_t = sh.state.kf_t[kf1]
+        self.last_feats = feats
+        self.last_frame_mp = sh.state.kf_mp[kf1]
+        self.ref_kf = kf1
+        self.last_kf_frame = self.frame_id
+        self.new_kf_slots += [kf0, kf1]
+        self.mono_init_ref = None
         return True
 
     def _predict_pose(self):
@@ -243,12 +324,27 @@ class Tracker:
         self.ref_kf = kf_slot
         self.last_kf_frame = self.frame_id
         self.new_kf_slots.append(kf_slot)
+        # monocular: spawn points by triangulating against top covisible
+        # neighbors (CreateNewMapPoints; stereo creates points directly above)
+        if self.cfg.sensor == Sensor.MONOCULAR:
+            row = np.asarray(sh.state.covis[kf_slot])
+            neigh = np.argsort(-row)[:5]
+            for nkf in neigh:
+                if row[nkf] <= 0:
+                    break
+                sh.state, n_tri = steps.triangulate_pair_step(
+                    sh.state, kf_slot, int(nkf), sh.mp_base(), self.cfg)
+                sh.commit_mp(int(n_tri))
         # synchronous LocalMapping pass: cull + fuse duplicates + local BA
         from . import mapping
         sh.state = mapping.local_mapping_pass(sh.state, kf_slot, self.cfg)
         if self.run_local_ba and sh.n_kf >= 3:
             sh.state = steps.local_ba_step(sh.state, kf_slot, self.cfg)
             sh.state = steps.recompute_covisibility(sh.state)
+            # cull redundant neighbors (KeyFrameCulling, after local BA)
+            sh.state, culled = mapping.keyframe_culling(sh.state, kf_slot,
+                                                        self.cfg)
+            self.culled_kf_slots += culled
         # fusion may have remapped point identities; the keyframe's own
         # feature->point row is the authoritative post-fusion assignment
         frame_mp = sh.state.kf_mp[kf_slot]
@@ -268,8 +364,12 @@ class Tracker:
         """TUM format rows: t tx ty tz qx qy qz qw (camera-to-world)."""
         rows = []
         for i, rec in enumerate(self.trajectory):
-            ts = timestamps[i] if timestamps is not None else float(rec.frame_id)
-            q_wc, t_wc = se3.inverse(jnp.asarray(rec.q), jnp.asarray(rec.t))
+            idx = rec.frame_id if timestamps is not None else None
+            ts = (timestamps[idx] if timestamps is not None
+                  and 0 <= rec.frame_id < len(timestamps)
+                  else float(rec.frame_id))
+            q = se3.quat_normalize(jnp.asarray(rec.q))
+            q_wc, t_wc = se3.inverse(q, jnp.asarray(rec.t))
             q_wc, t_wc = np.asarray(q_wc), np.asarray(t_wc)
             rows.append((ts, *t_wc, q_wc[1], q_wc[2], q_wc[3], q_wc[0]))
         return rows

@@ -62,6 +62,11 @@ class MultiAgentServer:
         closing; KFs that are not intra-map loops go to fusion detection
         (reference src/LoopClosing.cc:82-95)."""
         for agent, tracker in self.trackers.items():
+            while tracker.culled_kf_slots:
+                k = tracker.culled_kf_slots.pop(0)
+                self.db = kfdb_mod.erase_keyframe(self.db, k)
+                self.loop_closers[agent].db = kfdb_mod.erase_keyframe(
+                    self.loop_closers[agent].db, k)
             while tracker.new_kf_slots:
                 kf_slot = tracker.new_kf_slots.pop(0)
                 tracker.map_id = self.multimap.map_of(agent)
