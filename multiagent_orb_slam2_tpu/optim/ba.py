@@ -276,7 +276,7 @@ def _prepare_e(prob: BAProblem):
 
 
 def _build_and_solve_fast(prob, pre, q, t, pw, cam, lam, delta2_m, delta2_s,
-                          use_huber, chunk, pcg_iters):
+                          use_huber, chunk, pcg_iters, psum_axis=None):
     K = q.shape[0]
     P, M = prob.obs_kf.shape
     E = P * M
@@ -327,6 +327,8 @@ def _build_and_solve_fast(prob, pre, q, t, pw, cam, lam, delta2_m, delta2_s,
 
     # --- chunked one-hot matmul assembly ----------------------------------
     n_chunks = max(P // chunk, 1)
+    while P % n_chunks:            # static: chunk count must divide P
+        n_chunks -= 1
     cp = P // n_chunks
     ce = cp * M
 
@@ -375,6 +377,16 @@ def _build_and_solve_fast(prob, pre, q, t, pw, cam, lam, delta2_m, delta2_s,
          jnp.moveaxis(Ht_c, 1, 0), jnp.moveaxis(bt_c, 1, 0),
          jnp.moveaxis(Ybp_c, 1, 0)))
 
+    cost0 = tm.cost
+    if psum_axis is not None:
+        # distributed: each device holds a point shard; the reduced camera
+        # system is the sum of per-shard contributions (ICI collective)
+        S_flat = jax.lax.psum(S_flat, psum_axis)
+        rhs_p = jax.lax.psum(rhs_p, psum_axis)
+        Hcc_f = jax.lax.psum(Hcc_f, psum_axis)
+        bc_f = jax.lax.psum(bc_f, psum_axis)
+        cost0 = jax.lax.psum(cost0, psum_axis)
+
     Hcc = Hcc_f.reshape(6, 6, KK)[:, :, :K].transpose(2, 0, 1)  # [K, 6, 6]
     bc = bc_f[:, :K].T                                           # [K, 6]
     rhs_pose = rhs_p[:, :K].T
@@ -419,7 +431,7 @@ def _build_and_solve_fast(prob, pre, q, t, pw, cam, lam, delta2_m, delta2_s,
         + Hfull[(2, 2)] * rhs_pt[2]], axis=-1)             # [P, 3]
     has_obs = jnp.any((prob.obs_mask & (prob.obs_kf >= 0)), axis=-1)
     dp = jnp.where((prob.point_valid & has_obs)[:, None], dp, 0.0)
-    return dc, dp, tm.cost
+    return dc, dp, cost0
 
 
 @functools.partial(jax.jit,
