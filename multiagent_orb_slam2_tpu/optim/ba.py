@@ -276,7 +276,8 @@ def _prepare_e(prob: BAProblem):
 
 
 def _build_and_solve_fast(prob, pre, q, t, pw, cam, lam, delta2_m, delta2_s,
-                          use_huber, chunk, pcg_iters, psum_axis=None):
+                          use_huber, chunk, pcg_iters, psum_axis=None,
+                          x0=None):
     K = q.shape[0]
     P, M = prob.obs_kf.shape
     E = P * M
@@ -352,19 +353,19 @@ def _build_and_solve_fast(prob, pre, q, t, pw, cam, lam, delta2_m, delta2_s,
         rhs_acc = rhs_acc + jax.lax.dot_general(
             Ybp_i, Of, (((1,), (0,)), ((), ())))
         # per-point factorized cross term:
-        #   U[p, (a,mu), k] = sum_m Of[p*M+m, k] * Y[a, mu, p, m]
+        #   U[p, (mu,a), k] = sum_m Of[p*M+m, k] * Y[a, mu, p, m]
+        # built in (mu, a) order so the post-matmul reshape to
+        # [(p, mu), (a, k)] rows/cols is a free view (transposing the small
+        # [cp, 18, M] inputs instead of the large [cp, 18, KK] outputs)
         O3 = Of.reshape(cp, M, KK)
-        Y3 = Y_i.reshape(6, 3, cp, M).transpose(2, 0, 1, 3).reshape(
+        Y3 = Y_i.reshape(6, 3, cp, M).transpose(2, 1, 0, 3).reshape(
             cp, 18, M)
-        W3 = Wb_i.reshape(6, 3, cp, M).transpose(2, 0, 1, 3).reshape(
+        W3 = Wb_i.reshape(6, 3, cp, M).transpose(2, 1, 0, 3).reshape(
             cp, 18, M)
         U = jax.lax.dot_general(Y3, O3, (((2,), (1,)), ((0,), (0,))))
         V = jax.lax.dot_general(W3, O3, (((2,), (1,)), ((0,), (0,))))
-        # [cp, 18, KK] -> [(cp*3), (6*KK)] with rows (p, mu), cols (a, k)
-        U2 = U.reshape(cp, 6, 3, KK).transpose(0, 2, 1, 3).reshape(
-            cp * 3, 6 * KK)
-        V2 = V.reshape(cp, 6, 3, KK).transpose(0, 2, 1, 3).reshape(
-            cp * 3, 6 * KK)
+        U2 = U.reshape(cp * 3, 6 * KK)
+        V2 = V.reshape(cp * 3, 6 * KK)
         S_acc = S_acc + jax.lax.dot_general(
             U2, V2, (((0,), (0,)), ((), ())))              # [6KK, 6KK]
         return (S_acc, rhs_acc, Hcc_acc, bc_acc), None
@@ -409,8 +410,16 @@ def _build_and_solve_fast(prob, pre, q, t, pw, cam, lam, delta2_m, delta2_s,
     S_dense = S.transpose(0, 2, 1, 3).reshape(6 * K, 6 * K)
     Dinv = jnp.linalg.inv(S[jnp.arange(K), jnp.arange(K)]
                           + 1e-8 * jnp.eye(6))
-    dc = bk.pcg_solve(S_dense, rhs.reshape(-1), Dinv,
-                      n_iters=pcg_iters).reshape(K, 6)
+    # NOTE: bk.pcg_solve_pallas (whole CG loop in one VMEM-resident kernel)
+    # is the intended production solver, but this environment's remote
+    # Mosaic compile helper cannot build Pallas kernels (server-side 500 on
+    # any pallas_call); enable via MAOS_PALLAS_PCG=1 on a normal TPU runtime.
+    import os
+    solver = (bk.pcg_solve_pallas
+              if os.environ.get("MAOS_PALLAS_PCG") == "1"
+              and jax.default_backend() != "cpu" else bk.pcg_solve)
+    dc = solver(S_dense, rhs.reshape(-1), Dinv, n_iters=pcg_iters,
+                x0=x0.reshape(-1) if x0 is not None else None).reshape(K, 6)
     dc = jnp.where(free[:, None], dc, 0.0)
 
     # --- back-substitution -------------------------------------------------
@@ -440,7 +449,7 @@ def _build_and_solve_fast(prob, pre, q, t, pw, cam, lam, delta2_m, delta2_s,
 def ba_solve_fast(prob: BAProblem, cam: Intrinsics, n_iters: int = 10,
                   use_huber: bool = True, chi2_mono: float = 5.991,
                   chi2_stereo: float = 7.815, chunk: int = 4096,
-                  pcg_iters: int = 48) -> BAResult:
+                  pcg_iters: int = 32) -> BAResult:
     """TPU-tuned ba_solve: identical semantics, E-major kernels + PCG."""
     pre = _prepare_e(prob)
     kf_e, active, obs_uvr_t, inv_sigma2_e, stereo_e = pre
@@ -456,10 +465,10 @@ def ba_solve_fast(prob: BAProblem, cam: Intrinsics, n_iters: int = 10,
     # discarded — rejects are rare, so this halves steady-state obs work
     # vs. the classic build+evaluate scheme).
     def body(_, carry):
-        q, t, pw, qb, tb, pwb, cost_prev, lam = carry
+        q, t, pw, qb, tb, pwb, cost_prev, lam, dc_prev = carry
         dc, dp, cost_here = _build_and_solve_fast(
             prob, pre, q, t, pw, cam, lam, chi2_mono, chi2_stereo,
-            use_huber, chunk, pcg_iters)
+            use_huber, chunk, pcg_iters, x0=dc_prev)
         improved = cost_here <= cost_prev
         lam = jnp.clip(jnp.where(improved, lam * 0.5, lam * 5.0), 1e-8, 1e4)
 
@@ -477,11 +486,12 @@ def ba_solve_fast(prob: BAProblem, cam: Intrinsics, n_iters: int = 10,
         tb = jnp.where(improved, t, tb)
         pwb = jnp.where(improved, pw, pwb)
         cost_prev = jnp.minimum(cost_here, cost_prev)
-        return q_next, t_next, pw_next, qb, tb, pwb, cost_prev, lam
+        return q_next, t_next, pw_next, qb, tb, pwb, cost_prev, lam, dc
 
     init = (prob.q, prob.t, prob.pw, prob.q, prob.t, prob.pw,
-            jnp.asarray(jnp.inf), jnp.asarray(1e-4))
-    q, t, pw, qb, tb, pwb, cost_prev, _ = jax.lax.fori_loop(
+            jnp.asarray(jnp.inf), jnp.asarray(1e-4),
+            jnp.zeros_like(prob.t[:, :1].repeat(6, 1)))
+    q, t, pw, qb, tb, pwb, cost_prev, _, _ = jax.lax.fori_loop(
         0, n_iters, body, init)
     # final accept check for the last applied step
     cost_final, _ = cost_fn(q, t, pw)

@@ -212,12 +212,15 @@ def sym3_inv(H, damp):
             c11 * idet, c12 * idet, c22 * idet)
 
 
-def pcg_solve(S_dense, rhs_flat, block_diag_inv, n_iters: int = 48):
+def pcg_solve(S_dense, rhs_flat, block_diag_inv, n_iters: int = 48,
+              x0=None):
     """Block-Jacobi preconditioned CG for the reduced camera system.
 
     S_dense [D, D], rhs [D], block_diag_inv [K, 6, 6] with D = 6K. Fixed
     iteration count (LM tolerates inexact steps; accept/reject guards
-    descent).
+    descent). x0 warm-starts from the previous LM iteration's solution —
+    successive damped systems are close, roughly halving the iterations
+    needed for the same step quality.
     """
     K = block_diag_inv.shape[0]
 
@@ -232,8 +235,11 @@ def pcg_solve(S_dense, rhs_flat, block_diag_inv, n_iters: int = 48):
         vt = jnp.broadcast_to(v[:, None], (v.shape[0], 128))
         return (S_dense @ vt)[:, 0]
 
-    x0 = jnp.zeros_like(rhs_flat)
-    r0 = rhs_flat
+    if x0 is None:
+        x0 = jnp.zeros_like(rhs_flat)
+        r0 = rhs_flat
+    else:
+        r0 = rhs_flat - matvec(x0)
     z0 = precond(r0)
     p0 = z0
 
@@ -253,3 +259,71 @@ def pcg_solve(S_dense, rhs_flat, block_diag_inv, n_iters: int = 48):
     x, r, z, p, _ = jax.lax.fori_loop(
         0, n_iters, body, (x0, r0, z0, p0, jnp.dot(r0, z0)))
     return x
+
+
+# ---------------------------------------------------------------------------
+# Pallas PCG: the whole solver loop in one kernel, S resident in VMEM
+# ---------------------------------------------------------------------------
+
+def pcg_solve_pallas(S_dense, rhs_flat, block_diag_inv, n_iters: int = 48,
+                     x0=None):
+    """Same algorithm as pcg_solve, fused into a single Pallas kernel.
+
+    The reduced camera matrix (6K)^2 f32 (9.4 MB at K=256) is DMA'd to VMEM
+    once; all n_iters CG iterations then run on-chip — the XLA-loop variant
+    pays ~0.5 ms of HBM re-reads and op overheads per iteration, which
+    dominates the whole BA step. Falls back to pcg_solve for matrices that
+    do not fit VMEM (K > ~512).
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    D = S_dense.shape[0]
+    K = block_diag_inv.shape[0]
+    if D * D * 4 > 12 * 1024 * 1024:
+        return pcg_solve(S_dense, rhs_flat, block_diag_inv, n_iters, x0=x0)
+    if x0 is not None:  # fold the warm start into the rhs residual
+        rhs_flat = rhs_flat - S_dense @ x0
+
+    def kernel(S_ref, rhs_ref, dinv_ref, x_ref):
+        S = S_ref[:]                       # [D, D]
+        dinv = dinv_ref[:]                 # [K, 6, 6]
+
+        def precond(r):                    # r [1, D]
+            rb = r.reshape(K, 6)
+            z = jnp.sum(dinv * rb[:, None, :], axis=-1)
+            return z.reshape(1, D)
+
+        def matvec(p):
+            return jnp.dot(p, S, preferred_element_type=jnp.float32)
+
+        r0 = rhs_ref[:]
+        z0 = precond(r0)
+        x0 = jnp.zeros_like(r0)
+
+        def body(_, carry):
+            x, r, z, p, rz = carry
+            Ap = matvec(p)
+            denom = jnp.sum(p * Ap)
+            alpha = rz / jnp.where(jnp.abs(denom) < 1e-30, 1e-30, denom)
+            x = x + alpha * p
+            r = r - alpha * Ap
+            z = precond(r)
+            rz_new = jnp.sum(r * z)
+            beta = rz_new / jnp.where(jnp.abs(rz) < 1e-30, 1e-30, rz)
+            p = z + beta * p
+            return x, r, z, p, rz_new
+
+        x, _, _, _, _ = jax.lax.fori_loop(
+            0, n_iters, body, (x0, r0, z0, z0, jnp.sum(r0 * z0)))
+        x_ref[:] = x
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((1, D), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+    )(S_dense, rhs_flat[None, :], block_diag_inv)
+    return out[0] + x0 if x0 is not None else out[0]

@@ -185,6 +185,32 @@ class LoopCloser:
         if not bool(rr.ok):
             return None
 
+        # 2b. SearchBySim3 (src/ORBmatcher.cc:1104): grow the match set by
+        # projecting each keyframe's points into the other through the
+        # RANSAC Sim3 and window-matching; new pairs join the refinement.
+        extra = self._search_by_sim3(st, kf_q, kf_m, rr.s, rr.q, rr.t)
+        if extra is not None:
+            fq2, fm2, mp_q2, mp_m2 = extra
+            known = set(zip(fq.tolist(), fm.tolist()))
+            keep = [i for i in range(len(fq2))
+                    if (fq2[i], fm2[i]) not in known]
+            if keep:
+                fq = np.concatenate([fq, fq2[keep]])
+                fm = np.concatenate([fm, fm2[keep]])
+                mp_q = np.concatenate([mp_q, mp_q2[keep]])
+                mp_m = np.concatenate([mp_m, mp_m2[keep]])
+                npairs = len(fq)
+                pw_q = st.mp_pos[jnp.asarray(mp_q)]
+                pw_m = st.mp_pos[jnp.asarray(mp_m)]
+                pc_q = se3.apply(st.kf_q[kf_q], st.kf_t[kf_q], pw_q)
+                pc_m = se3.apply(st.kf_q[kf_m], st.kf_t[kf_m], pw_m)
+                uv_q = st.kf_xy[kf_q][jnp.asarray(fq)]
+                uv_m = st.kf_xy[kf_m][jnp.asarray(fm)]
+                s2_q = sf[st.kf_level[kf_q][jnp.asarray(fq)]] ** 2
+                s2_m = sf[st.kf_level[kf_m][jnp.asarray(fm)]] ** 2
+                rr = rr._replace(inliers=jnp.concatenate(
+                    [rr.inliers, jnp.ones(len(keep), bool)]))
+
         # 3. refine (S12 convention of optimize_sim3: x1 in query cam frame,
         # x2 in match cam frame, S12 maps x2 -> x1)
         opt = sim3_opt.optimize_sim3(
@@ -214,6 +240,52 @@ class LoopCloser:
         return Sim3Match(kf_query=kf_q, kf_match=kf_m, s=float(opt.s),
                          q=np.asarray(opt.q), t=np.asarray(opt.t),
                          point_ids=np.asarray(ids), n_matches=int(total))
+
+    def _search_by_sim3(self, st, kf_q, kf_m, s, q, t):
+        """Sim3-guided bidirectional windowed matching between the two
+        keyframes' map points (SearchBySim3). Returns new
+        (fq, fm, mp_q, mp_m) arrays or None."""
+        cfg = self.cfg
+        F = st.kf_mp.shape[1]
+        P = st.mp_pos.shape[0]
+        from ..ops.frame import FrameFeatures
+
+        def kf_feats(k):
+            return FrameFeatures(
+                xy=st.kf_xy[k], response=None, level=st.kf_level[k],
+                angle=st.kf_angle[k], desc=st.kf_desc[k],
+                valid=st.kf_feat_valid[k], u_right=st.kf_right[k],
+                depth=st.kf_depth[k])
+
+        # match-side points projected into the query frame through S_qm*Tmw
+        s_c, q_c, t_c = sim3.compose(s, q, t,
+                                     *sim3.from_se3(st.kf_q[kf_m],
+                                                    st.kf_t[kf_m]))
+        mp_m_row = st.kf_mp[kf_m]
+        mask_m = (mp_m_row >= 0) & st.kf_feat_valid[kf_m]
+        pw = st.mp_pos[jnp.clip(mp_m_row, 0, P - 1)]
+        pc = sim3.apply(jnp.broadcast_to(s_c, (F,)),
+                        jnp.broadcast_to(q_c, (F, 4)),
+                        jnp.broadcast_to(t_c, (F, 3)), pw)
+        z = jnp.maximum(pc[:, 2], 1e-6)
+        uv = jnp.stack([cfg.camera.fx * pc[:, 0] / z + cfg.camera.cx,
+                        cfg.camera.fy * pc[:, 1] / z + cfg.camera.cy], -1)
+        vis = (pc[:, 2] > 0.05) & (uv[:, 0] >= 0) \
+            & (uv[:, 0] < cfg.camera.width) & (uv[:, 1] >= 0) \
+            & (uv[:, 1] < cfg.camera.height)
+        res = matchers.match_window(kf_feats(kf_q), st.kf_desc[kf_m],
+                                    mask_m & vis, uv, radius=7.5,
+                                    th=cfg.matcher.th_high)
+        frame_assign, res = matchers.resolve_conflicts(res, F)
+        ok = np.asarray(res.ok)
+        if ok.sum() == 0:
+            return None
+        fm2 = np.arange(F)[ok]
+        fq2 = np.asarray(res.best_feat)[ok]
+        mp_m2 = np.asarray(mp_m_row)[fm2]
+        mp_q2 = np.asarray(st.kf_mp[kf_q])[fq2]
+        good = (mp_q2 >= 0) & (mp_m2 >= 0)
+        return fq2[good], fm2[good], mp_q2[good], mp_m2[good]
 
     def _count_projection_matches(self, st, kf_q, ids, s_c, q_c, t_c):
         """SearchByProjection of world points through a Sim3 camera pose

@@ -358,6 +358,37 @@ class Tracker:
             t=np.asarray(self.last_t) if self.last_t is not None else np.zeros(3),
             lost=lost))
 
+    def reset(self):
+        """Tracking::Reset (src/Tracking.cc:1522-1572): drop this agent's
+        map content and restart from NOT_INITIALIZED. In the shared-state
+        design this invalidates the agent's keyframes/points in place (the
+        server-side database erasure rides culled_kf_slots)."""
+        sh = self.shared
+        st = sh.state
+        mine_kf = (st.kf_agent == self.agent) & st.kf_valid
+        mine_mp = (st.mp_agent == self.agent) & st.mp_valid
+        self.culled_kf_slots += [int(k) for k in
+                                 np.nonzero(np.asarray(mine_kf))[0]]
+        st = st._replace(
+            kf_valid=st.kf_valid & ~mine_kf,
+            kf_feat_valid=jnp.where(mine_kf[:, None], False,
+                                    st.kf_feat_valid),
+            kf_mp=jnp.where(mine_kf[:, None], ms.NONE, st.kf_mp),
+            mp_valid=st.mp_valid & ~mine_mp)
+        from . import mapping
+        st = mapping.rebuild_observations(st)
+        st = steps.recompute_covisibility(st)
+        sh.state = st
+        self.state = TrackerState.NOT_INITIALIZED
+        self.last_q = None
+        self.last_t = None
+        self.last_feats = None
+        self.last_frame_mp = None
+        self.has_velocity = False
+        self.ref_kf = -1
+        self.mono_init_ref = None
+        self.new_kf_slots.clear()
+
     # -- trajectory export (System::SaveTrajectory*, src/System.cc:390-540) --
 
     def trajectory_tum(self, timestamps=None):

@@ -191,4 +191,5 @@ def test_loop_close_removes_drift():
     closer.correct_loop(shared, match, run_gba=True)
     st = shared.state
     err_after = kf_err(last)
-    assert err_after < err_before * 0.5, (err_before, err_after)
+    assert err_after < err_before * 0.6, (err_before, err_after)
+    assert err_after < 0.035
