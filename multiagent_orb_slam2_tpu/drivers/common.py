@@ -28,23 +28,63 @@ def load_settings(path: str, sensor: int) -> SlamConfig:
 
 
 def _parse_opencv_yaml(path: str) -> dict:
-    """Minimal parser for the reference's flat 'Key.Sub: value' YAML files
-    (e.g. Examples/Stereo/KITTI00-02.yaml). Nested matrices are skipped."""
+    """Minimal parser for the reference's 'Key.Sub: value' YAML files
+    (e.g. Examples/Stereo/KITTI00-02.yaml, EuRoC.yaml). Handles scalar
+    entries plus `!!opencv-matrix` nodes (rows/cols/data) such as the
+    LEFT./RIGHT. rectification blocks read by euroc_two_seq.cc:76-92."""
+    import re
+
+    import numpy as np
+
     out = {}
     with open(path) as f:
-        for line in f:
-            line = line.split("#")[0].strip()
-            if not line or line.startswith("%") or ":" not in line:
-                continue
-            key, _, val = line.partition(":")
-            val = val.strip()
-            if not val or val.startswith(("!", "[", "{")):
-                continue
-            try:
-                out[key.strip()] = float(val)
-            except ValueError:
-                out[key.strip()] = val
+        text = f.read()
+    # strip comments
+    lines = [ln.split("#")[0].rstrip() for ln in text.splitlines()]
+    i = 0
+    while i < len(lines):
+        line = lines[i].strip()
+        i += 1
+        if not line or line.startswith("%") or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key, val = key.strip(), val.strip()
+        if val.startswith("!!opencv-matrix") or val == "!!opencv-matrix":
+            # collect the indented block
+            block = []
+            while i < len(lines) and (lines[i].startswith((" ", "\t"))
+                                      or not lines[i].strip()):
+                block.append(lines[i])
+                i += 1
+            blob = " ".join(block)
+            rows = int(re.search(r"rows:\s*(\d+)", blob).group(1))
+            cols = int(re.search(r"cols:\s*(\d+)", blob).group(1))
+            data = re.search(r"data:\s*\[([^\]]*)\]", blob).group(1)
+            vals = [float(x) for x in data.replace(",", " ").split()]
+            out[key] = np.array(vals, dtype=np.float64).reshape(rows, cols)
+            continue
+        if not val or val.startswith(("[", "{")):
+            continue
+        try:
+            out[key] = float(val)
+        except ValueError:
+            out[key] = val
     return out
+
+
+def get_rectifier(settings_path: str):
+    """Build a StereoRectifier when the settings file carries the raw-camera
+    LEFT./RIGHT. K/D/R/P blocks (EuRoC-style, euroc_two_seq.cc:66-112);
+    None for pre-rectified datasets (KITTI/TUM)."""
+    from ..io import rectify
+    if settings_path and settings_path.endswith((".yaml", ".yml")):
+        try:
+            d = _parse_opencv_yaml(settings_path)
+        except Exception:
+            return None
+        if rectify.StereoRectifier.available(d):
+            return rectify.StereoRectifier(d)
+    return None
 
 
 def get_vocabulary(path: str, sequences=None, cfg: SlamConfig = None,

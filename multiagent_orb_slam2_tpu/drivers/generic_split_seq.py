@@ -39,6 +39,7 @@ def main(argv=None):
         seq.items = seq.items[:args.max_frames]
     subs = seq.split(args.agents)
     vocab = common.get_vocabulary(args.vocab, [seq], cfg)
+    rect = common.get_rectifier(args.settings)
 
     server = MultiAgentServer(cfg, vocab)
     trackers = [server.register_client(a) for a in range(args.agents)]
@@ -53,6 +54,8 @@ def main(argv=None):
             left, right, depth = sub.load(i)
             with timer:
                 if right is not None:
+                    if rect is not None:
+                        left, right = rect(left, right)
                     trackers[a].track_stereo(left, right, frame_id=i)
                 elif depth is not None:
                     trackers[a].track_rgbd(left, depth, frame_id=i)

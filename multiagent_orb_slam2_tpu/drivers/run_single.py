@@ -36,6 +36,7 @@ def main(argv=None):
     cfg = cfg.replace(depth_map_factor=1.0 / seq.depth_factor
                       if args.type == "rgbd_tum" else cfg.depth_map_factor)
     vocab = common.get_vocabulary(args.vocab, [seq], cfg)
+    rect = common.get_rectifier(args.settings)
     sys_ = System(cfg, vocab,
                   enable_loop_closing=not args.no_loop_closing)
 
@@ -45,6 +46,8 @@ def main(argv=None):
         left, right, depth = seq.load(i)
         with timer:
             if right is not None:
+                if rect is not None:
+                    left, right = rect(left, right)
                 sys_.track_stereo(left, right, frame_id=i)
             elif depth is not None:
                 sys_.track_rgbd(left, depth, frame_id=i)

@@ -38,6 +38,7 @@ def main(argv=None):
         for s in seqs:
             s.items = s.items[:args.max_frames]
     vocab = common.get_vocabulary(args.vocab, seqs, cfg)
+    rect = common.get_rectifier(args.settings)
 
     server = MultiAgentServer(cfg, vocab)
     trackers = [server.register_client(a) for a in range(2)]
@@ -50,6 +51,8 @@ def main(argv=None):
             left, right, depth = sub.load(i)
             with timer:
                 if right is not None:
+                    if rect is not None:
+                        left, right = rect(left, right)
                     trackers[a].track_stereo(left, right, frame_id=i)
                 elif depth is not None:
                     trackers[a].track_rgbd(left, depth, frame_id=i)

@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import SlamConfig
-from ..geometry import se3
+from ..geometry import camera, se3
 from ..mapstate import state as ms
 from ..ops import matchers
 from ..ops.frame import FrameFeatures
@@ -116,6 +116,83 @@ def track_motion_model_step(state: ms.MapState, feats: FrameFeatures,
                                              cfg.optimizer)
     frame_mp = jnp.where(inlier, frame_mp, NONE)
     return TrackResult(q, t, frame_mp, n)
+
+
+class VOTrackResult(NamedTuple):
+    q: jnp.ndarray
+    t: jnp.ndarray
+    frame_mp: jnp.ndarray    # [F] point slot per feature (-1; VO points excluded)
+    n_inliers: jnp.ndarray   # all inliers (map + VO)
+    n_map_inliers: jnp.ndarray  # inliers tied to real map points (mbVO test)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def make_vo_points(state: ms.MapState, feats: FrameFeatures, frame_mp,
+                   q, t, cfg: SlamConfig):
+    """Localization-mode temporal point creation (UpdateLastFrame,
+    src/Tracking.cc:814-878): unproject the previous frame's close stereo/
+    RGB-D features that have no map point, closest-first up to 100 beyond
+    the close band. Returns ([F,3] world positions, [F] mask)."""
+    close_th = cfg.tracking.th_depth * cfg.camera.baseline
+    cand = feats.valid & (feats.depth > 0) & (frame_mp < 0)
+    # reference: insert sorted by depth; keep all closer than close_th and
+    # stop after 100 points once past it
+    depth_key = jnp.where(cand, feats.depth, jnp.inf)
+    order = jnp.argsort(depth_key)
+    rank = jnp.zeros_like(order).at[order].set(
+        jnp.arange(order.shape[0], dtype=order.dtype))
+    keep = cand & ((feats.depth < close_th) | (rank < 100))
+    pc = camera.backproject(cfg.camera, feats.xy, feats.depth)
+    q_wc, t_wc = se3.inverse(q, t)
+    pw = se3.apply(q_wc, t_wc, pc)
+    return pw, keep
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "radius_mult"))
+def track_motion_model_vo_step(state: ms.MapState, feats: FrameFeatures,
+                               prev_feats: FrameFeatures, prev_frame_mp,
+                               vo_pw, vo_mask, q_pred, t_pred,
+                               cfg: SlamConfig,
+                               radius_mult: float = 1.0) -> VOTrackResult:
+    """Localization-only motion-model tracking: like
+    track_motion_model_step but the previous frame contributes both its map
+    points and the temporal VO points created by make_vo_points
+    (Tracking::TrackWithMotionModel in mbOnlyTracking mode,
+    src/Tracking.cc:336-403 + :814-878)."""
+    K, F, P, O = state.caps
+    th = 7.0 if cfg.sensor == 1 else 15.0
+    mp = jnp.clip(prev_frame_mp, 0, P - 1)
+    has_mp = (prev_frame_mp >= 0) & prev_feats.valid & state.mp_valid[mp]
+    use_vo = vo_mask & prev_feats.valid & ~has_mp
+    pw = jnp.where(use_vo[:, None], vo_pw, state.mp_pos[mp])
+    qmask = has_mp | use_vo
+    uv, ur, depth, vis = matchers.project_points(cfg.camera, q_pred, t_pred, pw)
+    sf = jnp.asarray(cfg.orb.scale_factors)
+    radius = radius_mult * th * sf[prev_feats.level]
+    res = matchers.match_window(feats, prev_feats.desc, qmask & vis, uv,
+                                radius, pred_ur=ur,
+                                pred_level=prev_feats.level,
+                                th=cfg.matcher.th_high)
+    res = matchers.rotation_consistency(prev_feats.angle, feats.angle, res,
+                                        cfg.matcher.histo_length)
+    frame_assign, res = matchers.resolve_conflicts(res, F)
+    prev_idx = jnp.clip(frame_assign, 0, F - 1)
+    matched = frame_assign >= 0
+    pw_frame = pw[prev_idx]
+    is_map = matched & has_mp[prev_idx]
+    frame_mp = jnp.where(is_map, prev_frame_mp[prev_idx], NONE)
+
+    inv_sigma2 = 1.0 / sf[feats.level] ** 2
+    obs = pose_opt.PoseObs(
+        pw=pw_frame,
+        obs=jnp.concatenate([feats.xy, feats.u_right[:, None]], axis=-1),
+        inv_sigma2=inv_sigma2, is_stereo=feats.u_right >= 0,
+        mask=matched & feats.valid)
+    q, t, inlier, n = pose_opt.pose_optimize(q_pred, t_pred, obs, cfg.camera,
+                                             cfg.optimizer)
+    frame_mp = jnp.where(inlier, frame_mp, NONE)
+    n_map = jnp.sum(inlier & is_map)
+    return VOTrackResult(q, t, frame_mp, n, n_map)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

@@ -63,6 +63,13 @@ class System:
         feats = frame_mod.extract_frame(jnp.asarray(img), self.cfg)
         return self._track(feats, frame_id)
 
+    def activate_localization_mode(self):
+        """System::ActivateLocalizationMode: freeze mapping, track only."""
+        self.tracker.set_localization_mode(True)
+
+    def deactivate_localization_mode(self):
+        self.tracker.set_localization_mode(False)
+
     def _track(self, feats, frame_id):
         out = self.tracker.track_features(feats, frame_id)
         if self.tracker.state == TrackerState.LOST:

@@ -84,6 +84,12 @@ class Tracker:
         self.ref_kf = -1
         self.last_kf_frame = -1
         self.frame_id = -1
+        # localization-only mode (Tracking::mbOnlyTracking,
+        # System::ActivateLocalizationMode src/System.cc / Tracking.cc:336-403)
+        self.only_tracking = False
+        self.vo = False          # mbVO: tracking on temporal points only
+        self.last_vo_pw = None
+        self.last_vo_mask = None
         self.trajectory: list[FrameRecord] = []
         self.new_kf_slots: list[int] = []    # queue for loop-closing stage
         self.culled_kf_slots: list[int] = []  # for database erasure upstream
@@ -132,6 +138,9 @@ class Tracker:
             self._record(lost=True)
             return None
 
+        if self.only_tracking:
+            return self._track_localization_only(feats, q_pred, t_pred)
+
         tr = steps.track_motion_model_step(
             sh.state, feats, self.last_feats, self.last_frame_mp,
             q_pred, t_pred, self.cfg)
@@ -178,6 +187,74 @@ class Tracker:
         self.last_q, self.last_t = tr.q, tr.t
         self.last_feats = feats
         self.last_frame_mp = frame_mp
+        self._record(lost=False)
+        return self.last_q, self.last_t
+
+    # -- localization-only mode (mbOnlyTracking, src/Tracking.cc:336-403) ---
+
+    def set_localization_mode(self, on: bool):
+        """ActivateLocalizationMode/DeactivateLocalizationMode
+        (src/System.cc): in localization mode the map is frozen — no
+        keyframes, no new map points, no local BA — and tracking augments
+        the motion model with temporal VO points unprojected from the last
+        frame's depth (UpdateLastFrame, src/Tracking.cc:814-878)."""
+        self.only_tracking = on
+        if not on:
+            self.vo = False
+            self.last_vo_pw = None
+            self.last_vo_mask = None
+
+    def _track_localization_only(self, feats, q_pred, t_pred):
+        sh = self.shared
+        F = self.cfg.caps.max_features
+        if self.last_vo_pw is None:
+            self.last_vo_pw = jnp.zeros((F, 3), jnp.float32)
+            self.last_vo_mask = jnp.zeros((F,), bool)
+        tr = steps.track_motion_model_vo_step(
+            sh.state, feats, self.last_feats, self.last_frame_mp,
+            self.last_vo_pw, self.last_vo_mask, q_pred, t_pred, self.cfg)
+        if int(tr.n_inliers) < self.cfg.tracking.min_matches_motion_model:
+            tr = steps.track_motion_model_vo_step(
+                sh.state, feats, self.last_feats, self.last_frame_mp,
+                self.last_vo_pw, self.last_vo_mask, q_pred, t_pred, self.cfg,
+                radius_mult=2.0)
+        ok = int(tr.n_inliers) >= 10  # reference: >=20 incl. VO (:915 uses 20)
+        # mbVO: fewer than 10 matches to real map points (:371, :929-931)
+        self.vo = int(tr.n_map_inliers) < 10
+        frame_mp = tr.frame_mp
+        q_cur, t_cur = tr.q, tr.t
+        if ok and not self.vo:
+            tr2, new_state = steps.track_local_map_step(
+                sh.state, feats, tr.q, tr.t, tr.frame_mp, self.ref_kf,
+                self.cfg)
+            sh.state = new_state
+            if int(tr2.n_inliers) >= \
+                    self.cfg.tracking.min_inliers_track_local_map:
+                q_cur, t_cur, frame_mp = tr2.q, tr2.t, tr2.frame_mp
+            else:
+                ok = False
+
+        if not ok:
+            self.state = TrackerState.LOST
+            self.last_q, self.last_t = q_pred, t_pred
+            self.last_feats = feats
+            self.last_frame_mp = jnp.full((F,), ms.NONE, jnp.int32)
+            self.last_vo_pw = None
+            self.last_vo_mask = None
+            self._record(lost=True)
+            return None
+
+        self.state = TrackerState.OK
+        if self.last_q is not None:
+            self.vel_q, self.vel_t = se3.relative(q_cur, t_cur, self.last_q,
+                                                  self.last_t)
+            self.has_velocity = True
+        self.last_q, self.last_t = q_cur, t_cur
+        self.last_feats = feats
+        self.last_frame_mp = frame_mp
+        if self.cfg.sensor != Sensor.MONOCULAR:
+            self.last_vo_pw, self.last_vo_mask = steps.make_vo_points(
+                sh.state, feats, frame_mp, q_cur, t_cur, self.cfg)
         self._record(lost=False)
         return self.last_q, self.last_t
 

@@ -91,3 +91,38 @@ def test_map_consistency(sequence):
     mp_valid = np.asarray(st.mp_valid)
     n_obs = (mp_obs_kf >= 0).sum(-1)
     assert (n_obs[mp_valid] >= 1).mean() > 0.95
+
+
+def test_localization_only_mode(sequence):
+    """ActivateLocalizationMode semantics: map frozen, tracking continues on
+    map points + temporal VO points (src/Tracking.cc:336-403, :814-878)."""
+    frames, (q_wc_gt, t_wc_gt) = sequence
+    shared = SharedMap(CFG)
+    tracker = Tracker(CFG, shared)
+    # build a map on the first half
+    for i, (left, right) in enumerate(frames[:10]):
+        tracker.track_stereo(left, right, frame_id=i)
+    n_kf_before = shared.n_kf
+    n_mp_before = shared.n_mp
+
+    tracker.set_localization_mode(True)
+    for i, (left, right) in enumerate(frames[10:], start=10):
+        tracker.track_stereo(left, right, frame_id=i)
+
+    # the map did not grow
+    assert shared.n_kf == n_kf_before
+    assert shared.n_mp == n_mp_before
+    assert not any(r.lost for r in tracker.trajectory), \
+        [i for i, r in enumerate(tracker.trajectory) if r.lost]
+
+    est_t = []
+    for rec in tracker.trajectory:
+        _, t_wc = se3.inverse(jnp.asarray(rec.q), jnp.asarray(rec.t))
+        est_t.append(np.asarray(t_wc))
+    est_t = np.stack(est_t)
+    ate = np.sqrt(np.mean(np.sum((est_t - t_wc_gt) ** 2, axis=-1)))
+    assert ate < 0.08, f"localization-mode ATE {ate:.4f} m"
+
+    # leaving localization mode resumes mapping
+    tracker.set_localization_mode(False)
+    assert not tracker.only_tracking
