@@ -263,11 +263,17 @@ def keyframe_culling(state: ms.MapState, center_kf: int, cfg: SlamConfig,
     """Cull redundant covisibility neighbors of a fresh keyframe (the
     reference checks the new KF's local neighbors after local BA,
     src/LocalMapping.cc:101-106, :636). Origin keyframes are exempt
-    (:647-650). Returns (state, culled_slot_list)."""
+    (:647-650). Returns (state, culled_slot_list, cull_info) where
+    cull_info maps slot -> (parent_slot, rel_q, rel_t), the pose relative
+    to the spanning-tree parent at cull time (the reference's KeyFrame
+    mTcp, src/KeyFrame.cc SetBadFlag) — needed to re-chain exported
+    trajectories through erased reference keyframes
+    (src/System.cc:390-448)."""
     row = np.asarray(state.covis[center_kf])
     fixed = np.asarray(state.kf_fixed_origin)
     valid = np.asarray(state.kf_valid)
     culled = []
+    cull_info = {}
     for k in np.argsort(-row):
         if len(culled) >= max_cull or row[k] <= 0:
             break
@@ -276,9 +282,16 @@ def keyframe_culling(state: ms.MapState, center_kf: int, cfg: SlamConfig,
         ratio, n_tracked = kf_redundancy(state, int(k), cfg)
         if float(ratio) > cfg.mapping.kf_cull_redundancy \
                 and int(n_tracked) > 20:
+            parent = int(state.kf_parent[k])
+            if parent >= 0:
+                rel_q, rel_t = se3.relative(
+                    state.kf_q[k], state.kf_t[k],
+                    state.kf_q[parent], state.kf_t[parent])
+                cull_info[int(k)] = (parent, np.asarray(rel_q),
+                                     np.asarray(rel_t))
             state = erase_keyframe_step(state, int(k))
             culled.append(int(k))
     if culled:
         state = rebuild_observations(state)
         state = steps.recompute_covisibility(state)
-    return state, culled
+    return state, culled, cull_info

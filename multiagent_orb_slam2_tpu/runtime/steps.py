@@ -511,36 +511,73 @@ def triangulate_pair_step(state: ms.MapState, kf1, kf2, mp_base,
     P2 = Kmat @ T2
     x1 = state.kf_xy[kf1]
     x2 = state.kf_xy[kf2][f2]
-    pw = triangulate_batch(P1, P2, x1, x2)               # [F, 3]
+    pw_dlt = triangulate_batch(P1, P2, x1, x2)           # [F, 3]
+
+    # stereo-aware source selection (reference :300-358): when the rays'
+    # parallax is weaker than the stereo rig's own parallax at the observed
+    # depth, unproject that keyframe's stereo depth instead of the DLT point
+    q1i, c1 = se3.inverse(q1, t1)
+    q2i, c2 = se3.inverse(q2, t2)
+    rd1 = pw_dlt - c1
+    rd2 = pw_dlt - c2
+    cosp = jnp.sum(rd1 * rd2, -1) / jnp.maximum(
+        jnp.linalg.norm(rd1, axis=-1) * jnp.linalg.norm(rd2, axis=-1), 1e-9)
+
+    depth1 = state.kf_depth[kf1]                         # [F]
+    depth2 = state.kf_depth[kf2][f2]
+    has_st1 = depth1 > 0
+    has_st2 = depth2 > 0
+    b = cam.baseline
+    cos_st1 = jnp.where(has_st1,
+                        jnp.cos(2.0 * jnp.arctan2(b / 2.0,
+                                                  jnp.maximum(depth1, 1e-6))),
+                        2.0)
+    cos_st2 = jnp.where(has_st2,
+                        jnp.cos(2.0 * jnp.arctan2(b / 2.0,
+                                                  jnp.maximum(depth2, 1e-6))),
+                        2.0)
+    cos_st = jnp.minimum(cos_st1, cos_st2)
+    use_dlt = (cosp < cos_st) & (cosp > 0) \
+        & (has_st1 | has_st2 | (cosp < 0.9998))
+
+    from ..geometry import camera as cam_mod
+    pw_st1 = se3.apply(q1i, c1, cam_mod.backproject(cam, x1, depth1))
+    pw_st2 = se3.apply(q2i, c2, cam_mod.backproject(cam, x2, depth2))
+    use_st1 = ~use_dlt & has_st1 & (cos_st1 < cos_st2)
+    use_st2 = ~use_dlt & ~use_st1 & has_st2
+    pw = jnp.where(use_st1[:, None], pw_st1,
+                   jnp.where(use_st2[:, None], pw_st2, pw_dlt))
+    source_ok = use_dlt | use_st1 | use_st2
 
     # gates (reference :359-437)
     pc1 = se3.apply(q1, t1, pw)
     pc2 = se3.apply(q2, t2, pw)
     z_ok = (pc1[:, 2] > 0.05) & (pc2[:, 2] > 0.05)
 
-    def reproj_err2(pc, x, level, kf_right, depth_kf, feat):
+    sf = jnp.asarray(cfg.orb.scale_factors)
+
+    def reproj_err2(pc, x, ur_obs, level):
+        """chi2-normalized reprojection error; stereo rows (ur_obs >= 0)
+        include the right-image residual (reference :371-407)."""
         z = jnp.maximum(pc[:, 2], 1e-6)
         u = cam.fx * pc[:, 0] / z + cam.cx
         v = cam.fy * pc[:, 1] / z + cam.cy
         e2 = (u - x[:, 0]) ** 2 + (v - x[:, 1]) ** 2
-        sigma2 = jnp.asarray(cfg.orb.scale_factors)[level] ** 2
-        return e2 / sigma2
+        is_st = ur_obs >= 0
+        ur = u - cam.bf / z
+        e2 = e2 + jnp.where(is_st, (ur - ur_obs) ** 2, 0.0)
+        sigma2 = sf[level] ** 2
+        th = jnp.where(is_st, 7.8, 5.991)
+        return e2 / sigma2, th
 
-    e1 = reproj_err2(pc1, x1, state.kf_level[kf1], None, None, None)
-    e2 = reproj_err2(pc2, x2, state.kf_level[kf2][f2], None, None, None)
-    reproj_ok = (e1 < 5.991) & (e2 < 5.991)
-
-    # parallax: rays from both camera centers
-    _, c1 = se3.inverse(q1, t1)
-    _, c2 = se3.inverse(q2, t2)
-    r1 = pw - c1
-    r2 = pw - c2
-    cosp = jnp.sum(r1 * r2, -1) / jnp.maximum(
-        jnp.linalg.norm(r1, axis=-1) * jnp.linalg.norm(r2, axis=-1), 1e-9)
-    par_ok = cosp < 0.9998
+    e1, th1 = reproj_err2(pc1, x1, state.kf_right[kf1], state.kf_level[kf1])
+    e2, th2 = reproj_err2(pc2, x2, state.kf_right[kf2][f2],
+                          state.kf_level[kf2][f2])
+    reproj_ok = (e1 < th1) & (e2 < th2)
 
     # scale consistency (reference ratioDist vs ratioOctave :416-437)
-    sf = jnp.asarray(cfg.orb.scale_factors)
+    r1 = pw - c1
+    r2 = pw - c2
     d1 = jnp.linalg.norm(r1, axis=-1)
     d2 = jnp.linalg.norm(r2, axis=-1)
     ratio_d = d2 / jnp.maximum(d1, 1e-9)
@@ -548,7 +585,7 @@ def triangulate_pair_step(state: ms.MapState, kf1, kf2, mp_base,
     scale_ok = (ratio_d < ratio_o * 1.5 * cfg.orb.scale_factor) \
         & (ratio_d * 1.5 * cfg.orb.scale_factor > ratio_o)
 
-    new = ok & z_ok & reproj_ok & par_ok & scale_ok
+    new = ok & source_ok & z_ok & reproj_ok & scale_ok
     slots = mp_base + jnp.cumsum(new.astype(jnp.int32)) - 1
     slots = jnp.where(new & (slots < P), slots, NONE)
     okslot = slots >= 0

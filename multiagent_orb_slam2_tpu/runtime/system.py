@@ -168,9 +168,12 @@ class System:
         traj_mod.write_tum(path, self.tracker.trajectory_tum(timestamps))
 
     def save_trajectory_kitti(self, path):
+        """KITTI format: every frame, re-chained through its reference KF so
+        loop/GBA corrections reach the export (src/System.cc:487-540)."""
         mats = []
-        for rec in self.tracker.trajectory:
-            q_wc, t_wc = se3.inverse(jnp.asarray(rec.q), jnp.asarray(rec.t))
+        for _, _, q_cw, t_cw in self.tracker.export_poses():
+            q_wc, t_wc = se3.inverse(jnp.asarray(q_cw, jnp.float32),
+                                     jnp.asarray(t_cw, jnp.float32))
             T = np.asarray(se3.to_matrix44(q_wc, t_wc))[:3]
             mats.append(T)
         traj_mod.write_kitti(path, np.stack(mats))

@@ -40,6 +40,10 @@ class SharedMap:
         self.state = ms.empty_map_state(cfg)
         self.n_kf = 0
         self.n_mp = 0
+        # slot -> (parent_slot, rel_q, rel_t) at cull time: the reference's
+        # KeyFrame::mTcp chain used by SaveTrajectory* to re-chain frames
+        # whose reference keyframe was later erased (src/System.cc:406-412)
+        self.cull_info: dict[int, tuple] = {}
 
     def alloc_kf(self) -> int:
         if self.n_kf >= self.cfg.caps.max_keyframes:
@@ -57,10 +61,20 @@ class SharedMap:
 
 @dataclasses.dataclass
 class FrameRecord:
+    """Per-frame trajectory record (the reference's mlRelativeFramePoses +
+    mlpReferences + mlbLost triplet, src/Tracking.cc:500-515). The absolute
+    pose q/t is the track-time estimate; ref_kf plus the reference KF's pose
+    snapshot (ref_q/ref_t, taken the same frame) let export re-chain each
+    frame against the CURRENT keyframe pose so loop-closure / GBA
+    corrections retroactively fix the whole trajectory
+    (src/System.cc:390-448)."""
     frame_id: int
     q: np.ndarray
     t: np.ndarray
     lost: bool
+    ref_kf: int = -1
+    ref_q: Optional[np.ndarray] = None
+    ref_t: Optional[np.ndarray] = None
 
 
 class Tracker:
@@ -419,21 +433,27 @@ class Tracker:
             sh.state = steps.local_ba_step(sh.state, kf_slot, self.cfg)
             sh.state = steps.recompute_covisibility(sh.state)
             # cull redundant neighbors (KeyFrameCulling, after local BA)
-            sh.state, culled = mapping.keyframe_culling(sh.state, kf_slot,
-                                                        self.cfg)
+            sh.state, culled, cull_info = mapping.keyframe_culling(
+                sh.state, kf_slot, self.cfg)
             self.culled_kf_slots += culled
+            sh.cull_info.update(cull_info)
         # fusion may have remapped point identities; the keyframe's own
         # feature->point row is the authoritative post-fusion assignment
         frame_mp = sh.state.kf_mp[kf_slot]
         return frame_mp
 
     def _record(self, lost: bool):
+        ref_q = ref_t = None
+        if self.ref_kf >= 0:
+            st = self.shared.state
+            ref_q = np.asarray(st.kf_q[self.ref_kf])
+            ref_t = np.asarray(st.kf_t[self.ref_kf])
         self.trajectory.append(FrameRecord(
             frame_id=self.frame_id,
             q=np.asarray(self.last_q) if self.last_q is not None else np.array(
                 [1.0, 0, 0, 0]),
             t=np.asarray(self.last_t) if self.last_t is not None else np.zeros(3),
-            lost=lost))
+            lost=lost, ref_kf=self.ref_kf, ref_q=ref_q, ref_t=ref_t))
 
     def reset(self):
         """Tracking::Reset (src/Tracking.cc:1522-1572): drop this agent's
@@ -468,16 +488,93 @@ class Tracker:
 
     # -- trajectory export (System::SaveTrajectory*, src/System.cc:390-540) --
 
+    def export_poses(self):
+        """Re-chained camera poses for every recorded frame.
+
+        Mirrors SaveTrajectoryTUM/KITTI (src/System.cc:390-448, :487-540):
+        each frame's pose is its track-time pose RELATIVE to its reference
+        keyframe, re-anchored on that keyframe's CURRENT (loop-corrected /
+        GBA-corrected) pose; if the reference keyframe was culled, the
+        relative pose is chained through the spanning tree via the mTcp
+        snapshots taken at cull time. Returns [(frame_id, lost, q_cw, t_cw)].
+        """
+        st = self.shared.state
+        kf_valid = np.asarray(st.kf_valid)
+        kf_q = np.asarray(st.kf_q)
+        kf_t = np.asarray(st.kf_t)
+        cull_info = self.shared.cull_info
+        out = []
+        for rec in self.trajectory:
+            q_cw, t_cw = rec.q, rec.t
+            if rec.ref_kf >= 0 and rec.ref_q is not None:
+                # T_frame<-ref at track time
+                rel_q, rel_t = _np_relative(rec.q, rec.t, rec.ref_q, rec.ref_t)
+                k = rec.ref_kf
+                ok = True
+                # chain through culled reference keyframes (KeyFrame::mTcp)
+                while not (0 <= k < len(kf_valid) and kf_valid[k]):
+                    info = cull_info.get(k)
+                    if info is None:
+                        ok = False
+                        break
+                    parent, cq, ct = info
+                    rel_q, rel_t = _np_compose(rel_q, rel_t, cq, ct)
+                    k = parent
+                if ok:
+                    q_cw, t_cw = _np_compose(rel_q, rel_t, kf_q[k], kf_t[k])
+            out.append((rec.frame_id, rec.lost, q_cw, t_cw))
+        return out
+
     def trajectory_tum(self, timestamps=None):
-        """TUM format rows: t tx ty tz qx qy qz qw (camera-to-world)."""
+        """TUM format rows: t tx ty tz qx qy qz qw (camera-to-world).
+        Lost frames are skipped as in the reference (src/System.cc:417)."""
         rows = []
-        for i, rec in enumerate(self.trajectory):
-            idx = rec.frame_id if timestamps is not None else None
-            ts = (timestamps[idx] if timestamps is not None
-                  and 0 <= rec.frame_id < len(timestamps)
-                  else float(rec.frame_id))
-            q = se3.quat_normalize(jnp.asarray(rec.q))
-            q_wc, t_wc = se3.inverse(q, jnp.asarray(rec.t))
-            q_wc, t_wc = np.asarray(q_wc), np.asarray(t_wc)
+        for frame_id, lost, q_cw_, t_cw_ in self.export_poses():
+            if lost:
+                continue
+            ts = (timestamps[frame_id] if timestamps is not None
+                  and 0 <= frame_id < len(timestamps) else float(frame_id))
+            q_wc, t_wc = _np_inverse(_np_normalize(q_cw_), t_cw_)
             rows.append((ts, *t_wc, q_wc[1], q_wc[2], q_wc[3], q_wc[0]))
         return rows
+
+
+# -- tiny numpy SE3 helpers (export-time; no device round trips) ------------
+
+def _np_normalize(q):
+    q = np.asarray(q, np.float64)
+    q = q / max(np.linalg.norm(q), 1e-12)
+    return -q if q[0] < 0 else q
+
+
+def _np_qmul(a, b):
+    w1, x1, y1, z1 = a
+    w2, x2, y2, z2 = b
+    return np.array([w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+                     w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+                     w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+                     w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2])
+
+
+def _np_qrot(q, v):
+    uv = np.cross(q[1:], v)
+    uuv = np.cross(q[1:], uv)
+    return np.asarray(v) + 2.0 * (q[0] * uv + uuv)
+
+
+def _np_compose(qa, ta, qb, tb):
+    """T_a * T_b."""
+    return _np_normalize(_np_qmul(qa, qb)), _np_qrot(qa, np.asarray(tb)) + ta
+
+
+def _np_inverse(q, t):
+    qi = np.array([q[0], -q[1], -q[2], -q[3]])
+    return qi, -_np_qrot(qi, np.asarray(t))
+
+
+def _np_relative(qa, ta, qb, tb):
+    """T_a * T_b^-1."""
+    qbi, tbi = _np_inverse(np.asarray(qb, np.float64),
+                           np.asarray(tb, np.float64))
+    return _np_compose(np.asarray(qa, np.float64),
+                       np.asarray(ta, np.float64), qbi, tbi)
