@@ -275,9 +275,41 @@ def _prepare_e(prob: BAProblem):
     return kf_e, active, obs_uvr_t, inv_sigma2_e, stereo_e
 
 
+def _full_chunk(carry, kf_i, Y_i, Wb_i, Ht_i, bt_i, Ybp_i, KK, cp, M):
+    """One full-width (KK one-hot) assembly chunk: the round-2 MXU scheme.
+
+    kf_i [ce] already maps inactive observations to the trash row K.
+    Accumulates (S_flat [6KK,6KK] in (a,k)-major layout, rhs [6,KK],
+    Hcc [36,KK], bc [6,KK]).
+    """
+    S_acc, rhs_acc, Hcc_acc, bc_acc = carry
+    Of = jax.nn.one_hot(kf_i, KK, dtype=jnp.float32)   # [ce, KK]
+    Hcc_acc = Hcc_acc + jax.lax.dot_general(
+        Ht_i, Of, (((1,), (0,)), ((), ())))
+    bc_acc = bc_acc + jax.lax.dot_general(
+        bt_i, Of, (((1,), (0,)), ((), ())))
+    rhs_acc = rhs_acc + jax.lax.dot_general(
+        Ybp_i, Of, (((1,), (0,)), ((), ())))
+    # per-point factorized cross term:
+    #   U[p, (mu,a), k] = sum_m Of[p*M+m, k] * Y[a, mu, p, m]
+    # built in (mu, a) order so the post-matmul reshape to
+    # [(p, mu), (a, k)] rows/cols is a free view (transposing the small
+    # [cp, 18, M] inputs instead of the large [cp, 18, KK] outputs)
+    O3 = Of.reshape(cp, M, KK)
+    Y3 = Y_i.reshape(6, 3, cp, M).transpose(2, 1, 0, 3).reshape(cp, 18, M)
+    W3 = Wb_i.reshape(6, 3, cp, M).transpose(2, 1, 0, 3).reshape(cp, 18, M)
+    U = jax.lax.dot_general(Y3, O3, (((2,), (1,)), ((0,), (0,))))
+    V = jax.lax.dot_general(W3, O3, (((2,), (1,)), ((0,), (0,))))
+    U2 = U.reshape(cp * 3, 6 * KK)
+    V2 = V.reshape(cp * 3, 6 * KK)
+    S_acc = S_acc + jax.lax.dot_general(
+        U2, V2, (((0,), (0,)), ((), ())))              # [6KK, 6KK] (a,k)
+    return (S_acc, rhs_acc, Hcc_acc, bc_acc)
+
+
 def _build_and_solve_fast(prob, pre, q, t, pw, cam, lam, delta2_m, delta2_s,
                           use_huber, chunk, pcg_iters, psum_axis=None,
-                          x0=None):
+                          x0=None, band=None):
     K = q.shape[0]
     P, M = prob.obs_kf.shape
     E = P * M
@@ -333,50 +365,128 @@ def _build_and_solve_fast(prob, pre, q, t, pw, cam, lam, delta2_m, delta2_s,
     cp = P // n_chunks
     ce = cp * M
 
-    kf_c = kf_e.reshape(n_chunks, ce)
     # mask invalid obs into the KK-th (dropped) one-hot row
     kf_masked = jnp.where(active > 0, kf_e, K).reshape(n_chunks, ce)
-    Y_c = Y.reshape(6, 3, n_chunks, ce)
-    Ht_c = Hterms.reshape(36, n_chunks, ce)
-    bt_c = bterms.reshape(6, n_chunks, ce)
-    Ybp_c = Ybp_e.reshape(6, n_chunks, ce)
-    Wb_c = Wb.reshape(6, 3, n_chunks, ce)
+    Y_c = jnp.moveaxis(Y.reshape(6, 3, n_chunks, ce), 2, 0)
+    Ht_c = jnp.moveaxis(Hterms.reshape(36, n_chunks, ce), 1, 0)
+    bt_c = jnp.moveaxis(bterms.reshape(6, n_chunks, ce), 1, 0)
+    Ybp_c = jnp.moveaxis(Ybp_e.reshape(6, n_chunks, ce), 1, 0)
+    Wb_c = jnp.moveaxis(Wb.reshape(6, 3, n_chunks, ce), 2, 0)
 
-    def chunk_body2(carry, inp):
-        S_acc, rhs_acc, Hcc_acc, bc_acc = carry
-        kf_i, Y_i, Wb_i, Ht_i, bt_i, Ybp_i = inp
-        Of = jax.nn.one_hot(kf_i, KK, dtype=jnp.float32)   # [ce, KK]
-        Hcc_acc = Hcc_acc + jax.lax.dot_general(
-            Ht_i, Of, (((1,), (0,)), ((), ())))
-        bc_acc = bc_acc + jax.lax.dot_general(
-            bt_i, Of, (((1,), (0,)), ((), ())))
-        rhs_acc = rhs_acc + jax.lax.dot_general(
-            Ybp_i, Of, (((1,), (0,)), ((), ())))
-        # per-point factorized cross term:
-        #   U[p, (mu,a), k] = sum_m Of[p*M+m, k] * Y[a, mu, p, m]
-        # built in (mu, a) order so the post-matmul reshape to
-        # [(p, mu), (a, k)] rows/cols is a free view (transposing the small
-        # [cp, 18, M] inputs instead of the large [cp, 18, KK] outputs)
-        O3 = Of.reshape(cp, M, KK)
-        Y3 = Y_i.reshape(6, 3, cp, M).transpose(2, 1, 0, 3).reshape(
-            cp, 18, M)
-        W3 = Wb_i.reshape(6, 3, cp, M).transpose(2, 1, 0, 3).reshape(
-            cp, 18, M)
-        U = jax.lax.dot_general(Y3, O3, (((2,), (1,)), ((0,), (0,))))
-        V = jax.lax.dot_general(W3, O3, (((2,), (1,)), ((0,), (0,))))
-        U2 = U.reshape(cp * 3, 6 * KK)
-        V2 = V.reshape(cp * 3, 6 * KK)
-        S_acc = S_acc + jax.lax.dot_general(
-            U2, V2, (((0,), (0,)), ((), ())))              # [6KK, 6KK]
-        return (S_acc, rhs_acc, Hcc_acc, bc_acc), None
+    carry0 = (jnp.zeros((6 * KK, 6 * KK)), jnp.zeros((6, KK)),
+              jnp.zeros((36, KK)), jnp.zeros((6, KK)))
 
-    S0 = jnp.zeros((6 * KK, 6 * KK))
-    (S_flat, rhs_p, Hcc_f, bc_f), _ = jax.lax.scan(
-        chunk_body2,
-        (S0, jnp.zeros((6, KK)), jnp.zeros((36, KK)), jnp.zeros((6, KK))),
-        (kf_masked, jnp.moveaxis(Y_c, 2, 0), jnp.moveaxis(Wb_c, 2, 0),
-         jnp.moveaxis(Ht_c, 1, 0), jnp.moveaxis(bt_c, 1, 0),
-         jnp.moveaxis(Ybp_c, 1, 0)))
+    def full_scan(_):
+        def body(carry, inp):
+            kf_i, Y_i, Wb_i, Ht_i, bt_i, Ybp_i = inp
+            return _full_chunk(carry, kf_i, Y_i, Wb_i, Ht_i, bt_i, Ybp_i,
+                               KK, cp, M), None
+
+        (S_a, rhs_p, Hcc_f, bc_f), _ = jax.lax.scan(
+            body, carry0, (kf_masked, Y_c, Wb_c, Ht_c, bt_c, Ybp_c))
+        # (a, k)-major -> (k, a)-major
+        S_flat = S_a.reshape(6, KK, 6, KK).transpose(1, 0, 3, 2).reshape(
+            6 * KK, 6 * KK)
+        return S_flat, rhs_p, Hcc_f, bc_f
+
+    if band is None:
+        S_flat, rhs_p, Hcc_f, bc_f = full_scan(None)
+    else:
+        # ------------------------------------------------------------------
+        # Banded assembly: each chunk's points usually observe poses inside
+        # a window of R consecutive ids (points are allocated in keyframe
+        # order), so the one-hot / cross-term matmuls only need width R+1
+        # instead of KK — an (R/K)^2 FLOP cut on the dominant S product.
+        # Points whose observations leave their chunk's window (loop/fusion
+        # points) go through an exact full-width overflow pass of static
+        # capacity OC; if even that overflows, lax.cond falls back to the
+        # full scan. Bitwise-exact semantics either way.
+        # ------------------------------------------------------------------
+        R, OC = band
+        kfP = jnp.where(active > 0, kf_e, K).reshape(P, M)
+        actP = active.reshape(P, M) > 0
+        kf_max = jnp.max(jnp.where(actP, kfP, -1), axis=1)        # [P]
+        kf_min = jnp.min(kfP, axis=1)                             # [P]
+        base_c = jnp.min(kf_min.reshape(n_chunks, cp), axis=1)    # [n_chunks]
+        base_c = jnp.clip(base_c, 0, max(K - R, 0))
+        has_act = jnp.any(actP, axis=1)
+        in_band = (kf_max < jnp.repeat(base_c, cp) + R) | ~has_act
+        n_ov = jnp.sum(~in_band)
+        ov_idx = jnp.nonzero(~in_band, size=OC, fill_value=P)[0]  # [OC]
+        inb_c = in_band.reshape(n_chunks, cp)
+
+        def banded(_):
+            def body(carry, inp):
+                S_acc, rhs_acc, Hcc_acc, bc_acc = carry
+                kf_i, Y_i, Wb_i, Ht_i, bt_i, Ybp_i, base_i, inb_i = inp
+                okp = jnp.repeat(inb_i, M) & (kf_i < K)
+                rel = jnp.where(okp, kf_i - base_i, R)
+                Of = jax.nn.one_hot(rel, R + 1, dtype=jnp.float32)
+                Hcc_l = jax.lax.dot_general(
+                    Ht_i, Of, (((1,), (0,)), ((), ())))[:, :R]
+                bc_l = jax.lax.dot_general(
+                    bt_i, Of, (((1,), (0,)), ((), ())))[:, :R]
+                rhs_l = jax.lax.dot_general(
+                    Ybp_i, Of, (((1,), (0,)), ((), ())))[:, :R]
+
+                def addc(acc, patch):
+                    cur = jax.lax.dynamic_slice(
+                        acc, (0, base_i), (acc.shape[0], R))
+                    return jax.lax.dynamic_update_slice(
+                        acc, cur + patch, (0, base_i))
+
+                Hcc_acc = addc(Hcc_acc, Hcc_l)
+                bc_acc = addc(bc_acc, bc_l)
+                rhs_acc = addc(rhs_acc, rhs_l)
+
+                O3 = Of.reshape(cp, M, R + 1)
+                Y3 = Y_i.reshape(6, 3, cp, M).transpose(2, 1, 0, 3).reshape(
+                    cp, 18, M)
+                W3 = Wb_i.reshape(6, 3, cp, M).transpose(2, 1, 0, 3).reshape(
+                    cp, 18, M)
+                U = jax.lax.dot_general(Y3, O3, (((2,), (1,)), ((0,), (0,))))
+                V = jax.lax.dot_general(W3, O3, (((2,), (1,)), ((0,), (0,))))
+                U2 = U.reshape(cp * 3, 6 * (R + 1))
+                V2 = V.reshape(cp * 3, 6 * (R + 1))
+                S_l = jax.lax.dot_general(
+                    U2, V2, (((0,), (0,)), ((), ())))      # (a, rel)-major
+                # -> (rel, a)-major, drop the trash rel = R rows/cols
+                S_l = S_l.reshape(6, R + 1, 6, R + 1).transpose(
+                    1, 0, 3, 2).reshape(6 * (R + 1), 6 * (R + 1))
+                S_l = S_l[:6 * R, :6 * R]
+                cur = jax.lax.dynamic_slice(
+                    S_acc, (6 * base_i, 6 * base_i), (6 * R, 6 * R))
+                S_acc = jax.lax.dynamic_update_slice(
+                    S_acc, cur + S_l, (6 * base_i, 6 * base_i))
+                return (S_acc, rhs_acc, Hcc_acc, bc_acc), None
+
+            (S_k, rhs_p, Hcc_f, bc_f), _ = jax.lax.scan(
+                body, carry0,
+                (kf_masked, Y_c, Wb_c, Ht_c, bt_c, Ybp_c, base_c, inb_c))
+
+            # exact overflow pass: full-width assembly over the <= OC
+            # out-of-band points
+            ovc = jnp.clip(ov_idx, 0, P - 1)
+            ov_ok = ov_idx < P                              # [OC]
+            kf_ov = jnp.where(ov_ok[:, None], kfP[ovc], K).reshape(OC * M)
+
+            def takeP(arr, nlead):
+                return jnp.take(arr.reshape(arr.shape[:nlead] + (P, M)),
+                                ovc, axis=nlead).reshape(
+                                    arr.shape[:nlead] + (OC * M,))
+
+            S_ov, rhs_ov, Hcc_ov, bc_ov = _full_chunk(
+                (jnp.zeros((6 * KK, 6 * KK)), jnp.zeros((6, KK)),
+                 jnp.zeros((36, KK)), jnp.zeros((6, KK))),
+                kf_ov, takeP(Y, 2), takeP(Wb, 2), takeP(Hterms, 1),
+                takeP(bterms, 1), takeP(Ybp_e, 1), KK, OC, M)
+            S_ov = S_ov.reshape(6, KK, 6, KK).transpose(1, 0, 3, 2).reshape(
+                6 * KK, 6 * KK)
+            return (S_k + S_ov, rhs_p + rhs_ov, Hcc_f + Hcc_ov,
+                    bc_f + bc_ov)
+
+        S_flat, rhs_p, Hcc_f, bc_f = jax.lax.cond(
+            n_ov <= OC, banded, full_scan, None)
 
     cost0 = tm.cost
     if psum_axis is not None:
@@ -392,7 +502,7 @@ def _build_and_solve_fast(prob, pre, q, t, pw, cam, lam, delta2_m, delta2_s,
     bc = bc_f[:, :K].T                                           # [K, 6]
     rhs_pose = rhs_p[:, :K].T
 
-    S_blocks = S_flat.reshape(6, KK, 6, KK).transpose(1, 3, 0, 2)[:K, :K]
+    S_blocks = S_flat.reshape(KK, 6, KK, 6).transpose(0, 2, 1, 3)[:K, :K]
     S = -S_blocks
     S = S.at[jnp.arange(K), jnp.arange(K)].add(Hcc)
     dd = jnp.diagonal(Hcc, axis1=-2, axis2=-1)
@@ -445,12 +555,38 @@ def _build_and_solve_fast(prob, pre, q, t, pw, cam, lam, delta2_m, delta2_s,
 
 @functools.partial(jax.jit,
                    static_argnames=("cam", "n_iters", "use_huber", "chunk",
-                                    "pcg_iters"))
+                                    "pcg_iters", "band"))
 def ba_solve_fast(prob: BAProblem, cam: Intrinsics, n_iters: int = 10,
                   use_huber: bool = True, chi2_mono: float = 5.991,
                   chi2_stereo: float = 7.815, chunk: int = 4096,
-                  pcg_iters: int = 32) -> BAResult:
-    """TPU-tuned ba_solve: identical semantics, E-major kernels + PCG."""
+                  pcg_iters: int = 32, band="auto") -> BAResult:
+    """TPU-tuned ba_solve: identical semantics, E-major kernels + PCG.
+
+    band: None for the full-width one-hot assembly, (R, OC) for banded
+    assembly with pose-window R and overflow capacity OC, or "auto" to
+    pick from the static problem shape (banded only pays off once the
+    pose count makes the KK-wide cross-term matmul dominant).
+    """
+    K = prob.q.shape[0]
+    P = prob.pw.shape[0]
+    if band == "auto":
+        band = (64, max(256, P // 16)) if (K >= 192 and P >= 8192) else None
+
+    perm = None
+    if band is not None:
+        # Sort points by their minimum observing pose so each chunk's poses
+        # fall inside a narrow window. Point order is arbitrary for BA
+        # (observations are grouped per point); results are un-permuted on
+        # return. One [P]-argsort + row gathers per solve.
+        okm = prob.obs_mask & (prob.obs_kf >= 0)
+        kf_min = jnp.min(jnp.where(okm, prob.obs_kf, K + 1), axis=1)
+        perm = jnp.argsort(kf_min)
+        prob = prob._replace(
+            pw=prob.pw[perm], point_valid=prob.point_valid[perm],
+            obs_kf=prob.obs_kf[perm], obs_uvr=prob.obs_uvr[perm],
+            obs_inv_sigma2=prob.obs_inv_sigma2[perm],
+            obs_stereo=prob.obs_stereo[perm], obs_mask=prob.obs_mask[perm])
+
     pre = _prepare_e(prob)
     kf_e, active, obs_uvr_t, inv_sigma2_e, stereo_e = pre
 
@@ -468,7 +604,7 @@ def ba_solve_fast(prob: BAProblem, cam: Intrinsics, n_iters: int = 10,
         q, t, pw, qb, tb, pwb, cost_prev, lam, dc_prev = carry
         dc, dp, cost_here = _build_and_solve_fast(
             prob, pre, q, t, pw, cam, lam, chi2_mono, chi2_stereo,
-            use_huber, chunk, pcg_iters, x0=dc_prev)
+            use_huber, chunk, pcg_iters, x0=dc_prev, band=band)
         improved = cost_here <= cost_prev
         lam = jnp.clip(jnp.where(improved, lam * 0.5, lam * 5.0), 1e-8, 1e4)
 
@@ -502,5 +638,10 @@ def ba_solve_fast(prob: BAProblem, cam: Intrinsics, n_iters: int = 10,
 
     cost, chi2 = cost_fn(q, t, pw)
     P, M = prob.obs_kf.shape
+    chi2 = chi2.reshape(P, M)
+    if perm is not None:
+        inv = jnp.argsort(perm)
+        pw = pw[inv]
+        chi2 = chi2[inv]
     return BAResult(q=q, t=t, pw=pw, cost=cost,
-                    obs_chi2=chi2.reshape(P, M), n_iters=jnp.asarray(n_iters))
+                    obs_chi2=chi2, n_iters=jnp.asarray(n_iters))

@@ -513,29 +513,39 @@ def triangulate_pair_step(state: ms.MapState, kf1, kf2, mp_base,
     x2 = state.kf_xy[kf2][f2]
     pw_dlt = triangulate_batch(P1, P2, x1, x2)           # [F, 3]
 
-    # stereo-aware source selection (reference :300-358): when the rays'
-    # parallax is weaker than the stereo rig's own parallax at the observed
-    # depth, unproject that keyframe's stereo depth instead of the DLT point
+    # stereo-aware source selection (reference :294-358): when the bearing
+    # rays' parallax is weaker than the stereo rig's own parallax at the
+    # observed depth, unproject that keyframe's stereo depth instead of the
+    # DLT point. Parallax comes from the PRE-triangulation bearing rays
+    # (reference :296-305), so a degenerate DLT solution can't feed a bogus
+    # parallax into the gate; and cosParallaxStereo2 is only computed when
+    # keyframe 1 has no stereo depth (the reference's else-if :317-321 —
+    # with both stereo, KF1's stereo parallax alone gates the DLT and the
+    # depth fallback always unprojects from KF1).
     q1i, c1 = se3.inverse(q1, t1)
     q2i, c2 = se3.inverse(q2, t2)
-    rd1 = pw_dlt - c1
-    rd2 = pw_dlt - c2
-    cosp = jnp.sum(rd1 * rd2, -1) / jnp.maximum(
-        jnp.linalg.norm(rd1, axis=-1) * jnp.linalg.norm(rd2, axis=-1), 1e-9)
+    Kinv_ = Kinv
+    ray1 = se3.quat_rotate(q1i, (Kinv_ @ jnp.concatenate(
+        [x1, jnp.ones((x1.shape[0], 1))], -1).T).T)
+    ray2 = se3.quat_rotate(q2i, (Kinv_ @ jnp.concatenate(
+        [x2, jnp.ones((x2.shape[0], 1))], -1).T).T)
+    cosp = jnp.sum(ray1 * ray2, -1) / jnp.maximum(
+        jnp.linalg.norm(ray1, axis=-1) * jnp.linalg.norm(ray2, axis=-1), 1e-9)
 
     depth1 = state.kf_depth[kf1]                         # [F]
     depth2 = state.kf_depth[kf2][f2]
     has_st1 = depth1 > 0
     has_st2 = depth2 > 0
     b = cam.baseline
+    no_st = cosp + 1.0   # reference init: cosParallaxRays + 1 (:315-316)
     cos_st1 = jnp.where(has_st1,
                         jnp.cos(2.0 * jnp.arctan2(b / 2.0,
                                                   jnp.maximum(depth1, 1e-6))),
-                        2.0)
-    cos_st2 = jnp.where(has_st2,
+                        no_st)
+    cos_st2 = jnp.where(~has_st1 & has_st2,
                         jnp.cos(2.0 * jnp.arctan2(b / 2.0,
                                                   jnp.maximum(depth2, 1e-6))),
-                        2.0)
+                        no_st)
     cos_st = jnp.minimum(cos_st1, cos_st2)
     use_dlt = (cosp < cos_st) & (cosp > 0) \
         & (has_st1 | has_st2 | (cosp < 0.9998))
@@ -544,7 +554,7 @@ def triangulate_pair_step(state: ms.MapState, kf1, kf2, mp_base,
     pw_st1 = se3.apply(q1i, c1, cam_mod.backproject(cam, x1, depth1))
     pw_st2 = se3.apply(q2i, c2, cam_mod.backproject(cam, x2, depth2))
     use_st1 = ~use_dlt & has_st1 & (cos_st1 < cos_st2)
-    use_st2 = ~use_dlt & ~use_st1 & has_st2
+    use_st2 = ~use_dlt & ~use_st1 & has_st2 & (cos_st2 < cos_st1)
     pw = jnp.where(use_st1[:, None], pw_st1,
                    jnp.where(use_st2[:, None], pw_st2, pw_dlt))
     source_ok = use_dlt | use_st1 | use_st2

@@ -140,12 +140,48 @@ class System:
             q, t, inlier, n = pose_opt.pose_optimize(rr.q, rr.t, obs,
                                                      cfg.camera,
                                                      cfg.optimizer)
+            # match-growth rounds (src/Tracking.cc:1452-1502): when the EPnP
+            # solution has too few inliers, project the candidate keyframe's
+            # points with the current estimate and window-match to add
+            # observations, re-optimize; a second narrower round if still
+            # short of the 50-inlier bar
+            F = feats.xy.shape[0]
+            feat_cur = feat
+            found = inlier
+            for radius_px, th_d in ((10.0, 100), (3.0, 64)):
+                if int(n) >= cfg.tracking.reloc_min_inliers:
+                    break
+                uvp, urp, depp, visp = matchers.project_points(
+                    cfg.camera, q, t, pw)
+                grow_mask = qmask & ~found & visp
+                radius = radius_px * sf[st.kf_level[c]]
+                res2 = matchers.match_window(feats, st.kf_desc[c], grow_mask,
+                                             uvp, radius, th=th_d)
+                _, res2 = matchers.resolve_conflicts(res2, F)
+                new_ok = res2.ok & ~found
+                if int(jnp.sum(new_ok)) == 0:
+                    continue
+                feat_cur = jnp.where(found, feat_cur,
+                                     jnp.clip(res2.best_feat, 0, F - 1))
+                sel2 = found | new_ok
+                sigma2_2 = sf[feats.level[feat_cur]] ** 2
+                obs2 = pose_opt.PoseObs(
+                    pw=pw,
+                    obs=jnp.concatenate(
+                        [feats.xy[feat_cur],
+                         feats.u_right[feat_cur][:, None]], -1),
+                    inv_sigma2=1.0 / sigma2_2,
+                    is_stereo=feats.u_right[feat_cur] >= 0,
+                    mask=sel2)
+                q, t, inlier, n = pose_opt.pose_optimize(q, t, obs2,
+                                                         cfg.camera,
+                                                         cfg.optimizer)
+                found = inlier
             if int(n) < cfg.tracking.reloc_min_inliers:
                 continue
             # success: adopt the pose, rebuild the frame association
-            F = feats.xy.shape[0]
             frame_mp = jnp.full((F,), ms.NONE, jnp.int32).at[
-                jnp.where(inlier, feat, F)].set(
+                jnp.where(inlier, feat_cur, F)].set(
                     jnp.where(inlier, kf_mp, ms.NONE), mode="drop")
             tr = self.tracker
             tr.state = TrackerState.OK
@@ -158,6 +194,13 @@ class System:
                 tr.trajectory[-1].q = np.asarray(q)
                 tr.trajectory[-1].t = np.asarray(t)
                 tr.trajectory[-1].lost = False
+                # re-anchor the record on the relocalization keyframe: the
+                # pre-lost reference would re-chain this frame through a
+                # keyframe unrelated to the recovered pose (and pick up that
+                # keyframe's future corrections instead of this one's)
+                tr.trajectory[-1].ref_kf = c
+                tr.trajectory[-1].ref_q = np.asarray(st.kf_q[c])
+                tr.trajectory[-1].ref_t = np.asarray(st.kf_t[c])
             self.n_relocalizations += 1
             return True
         return False

@@ -196,7 +196,13 @@ class Tracker:
         need_kf = self._need_new_keyframe(feats, tr)
         frame_mp = tr.frame_mp
         if need_kf:
-            frame_mp = self._create_keyframe(feats, tr)
+            # _create_keyframe returns the keyframe's POST-local-BA pose:
+            # the recorded frame pose must match the reference-KF snapshot
+            # taken in _record, or the baked relative pose would permanently
+            # cancel the BA correction (reference: Tcr is identity for a
+            # frame that spawned a keyframe, src/Tracking.cc:505-509)
+            frame_mp, q_kf, t_kf = self._create_keyframe(feats, tr)
+            tr = tr._replace(q=q_kf, t=t_kf)
 
         self.last_q, self.last_t = tr.q, tr.t
         self.last_feats = feats
@@ -415,17 +421,34 @@ class Tracker:
         self.ref_kf = kf_slot
         self.last_kf_frame = self.frame_id
         self.new_kf_slots.append(kf_slot)
-        # monocular: spawn points by triangulating against top covisible
-        # neighbors (CreateNewMapPoints; stereo creates points directly above)
-        if self.cfg.sensor == Sensor.MONOCULAR:
-            row = np.asarray(sh.state.covis[kf_slot])
-            neigh = np.argsort(-row)[:5]
-            for nkf in neigh:
-                if row[nkf] <= 0:
-                    break
-                sh.state, n_tri = steps.triangulate_pair_step(
-                    sh.state, kf_slot, int(nkf), sh.mp_base(), self.cfg)
-                sh.commit_mp(int(n_tri))
+        # spawn points by triangulating against top covisible neighbors.
+        # CreateNewMapPoints runs for ALL sensors (src/LocalMapping.cc:213):
+        # stereo/RGB-D gets its close points directly from depth at KF
+        # creation, but far structure (beyond ThDepth) only ever comes from
+        # multi-view triangulation. nn = 10 (20 for mono), reference :221.
+        mono = self.cfg.sensor == Sensor.MONOCULAR
+        nn = (2 * self.cfg.mapping.triangulation_neighbors if mono
+              else self.cfg.mapping.triangulation_neighbors)
+        row = np.asarray(sh.state.covis[kf_slot])
+        neigh = np.argsort(-row)[:nn]
+        if not mono:
+            # baseline gate: skip neighbors closer than the stereo rig's own
+            # baseline — they add no parallax (src/LocalMapping.cc:255-261)
+            q1i, c1 = se3.inverse(sh.state.kf_q[kf_slot],
+                                  sh.state.kf_t[kf_slot])
+            c1 = np.asarray(c1)
+        for nkf in neigh:
+            if row[nkf] <= 0:
+                break
+            if not mono:
+                _, c2 = se3.inverse(sh.state.kf_q[int(nkf)],
+                                    sh.state.kf_t[int(nkf)])
+                if float(np.linalg.norm(np.asarray(c2) - c1)) \
+                        < self.cfg.camera.baseline:
+                    continue
+            sh.state, n_tri = steps.triangulate_pair_step(
+                sh.state, kf_slot, int(nkf), sh.mp_base(), self.cfg)
+            sh.commit_mp(int(n_tri))
         # synchronous LocalMapping pass: cull + fuse duplicates + local BA
         from . import mapping
         sh.state = mapping.local_mapping_pass(sh.state, kf_slot, self.cfg)
@@ -440,7 +463,7 @@ class Tracker:
         # fusion may have remapped point identities; the keyframe's own
         # feature->point row is the authoritative post-fusion assignment
         frame_mp = sh.state.kf_mp[kf_slot]
-        return frame_mp
+        return frame_mp, sh.state.kf_q[kf_slot], sh.state.kf_t[kf_slot]
 
     def _record(self, lost: bool):
         ref_q = ref_t = None
@@ -504,6 +527,10 @@ class Tracker:
         kf_t = np.asarray(st.kf_t)
         cull_info = self.shared.cull_info
         out = []
+        # frames whose reference-KF chain dead-ends (culled without a
+        # cull_info entry, e.g. reset) fall back to raw track-time poses;
+        # counted so silently-degraded exports are visible
+        self.export_fallbacks = 0
         for rec in self.trajectory:
             q_cw, t_cw = rec.q, rec.t
             if rec.ref_kf >= 0 and rec.ref_q is not None:
@@ -516,6 +543,7 @@ class Tracker:
                     info = cull_info.get(k)
                     if info is None:
                         ok = False
+                        self.export_fallbacks += 1
                         break
                     parent, cq, ct = info
                     rel_q, rel_t = _np_compose(rel_q, rel_t, cq, ct)

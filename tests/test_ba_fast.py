@@ -28,6 +28,35 @@ def test_fast_outlier_chi2_consistent():
     assert agree > 0.95, agree
 
 
+def test_banded_matches_full():
+    """Banded assembly (pose-window one-hot + overflow pass) must reproduce
+    the full-width assembly exactly, including when loop-closure-like points
+    span distant poses (overflow path) and when overflow capacity is
+    exceeded (lax.cond fallback to the full scan)."""
+    from bench import build_problem
+    prob, cam = build_problem(K=48, P=2048, M=4, seed=1)
+    # make some points span distant poses (simulated loop closures)
+    obs_kf = np.array(prob.obs_kf)
+    obs_kf[:64, -1] = (obs_kf[:64, -1] + 24) % 48
+    prob = prob._replace(obs_kf=jnp.asarray(obs_kf))
+
+    full = ba_solve_fast(prob, cam, n_iters=3, chunk=256, pcg_iters=48,
+                         band=None)
+    bnd = ba_solve_fast(prob, cam, n_iters=3, chunk=256, pcg_iters=48,
+                        band=(16, 256))
+    # banded sorts points by min observing pose, so summation order (and
+    # f32 roundoff) differs; agreement is to roundoff, not bitwise
+    assert float(jnp.abs(full.q - bnd.q).max()) < 1e-4
+    assert float(jnp.abs(full.t - bnd.t).max()) < 1e-3
+    assert abs(float(full.cost) - float(bnd.cost)) / float(full.cost) < 1e-4
+
+    # overflow capacity 8 < 64 wide-span points -> cond falls back, still exact
+    fb = ba_solve_fast(prob, cam, n_iters=3, chunk=256, pcg_iters=48,
+                       band=(16, 8))
+    assert float(jnp.abs(full.t - fb.t).max()) < 1e-3
+    assert abs(float(full.cost) - float(fb.cost)) / float(full.cost) < 1e-4
+
+
 def test_fast_mono():
     prob, (q_gt, t_gt, _) = make_ba_problem(K=8, P=400, M=8, stereo=False,
                                             seed=1)
