@@ -143,5 +143,10 @@ def write_fusion_stats(path: str, stats: list):
         f.write("sim3,mf,ckf,cmp,mkf,mmp,cd,cdsum,cdmean,cdstdev,cdmed,gba\n")
         for s in stats:
             f.write(f"{s['sim3_ms'] * 1e3:.0f},{s['mf_ms'] * 1e3:.0f},"
-                    f"{s['ckf']},0,0,0,{s['cd_ms'] * 1e3:.0f},0,0,0,0,"
+                    f"{s['ckf']},{s.get('cmp', 0)},{s.get('mkf', 0)},"
+                    f"{s.get('mmp', 0)},{s['cd_ms'] * 1e3:.0f},"
+                    f"{s.get('cd_sum_ms', 0) * 1e3:.0f},"
+                    f"{s.get('cd_mean_ms', 0) * 1e3:.0f},"
+                    f"{s.get('cd_stdev_ms', 0) * 1e3:.0f},"
+                    f"{s.get('cd_med_ms', 0) * 1e3:.0f},"
                     f"{s['gba_ms'] * 1e3:.0f}\n")

@@ -44,6 +44,10 @@ class MapState(NamedTuple):
     kf_map: jnp.ndarray        # [K] int32 logical map id
     kf_parent: jnp.ndarray     # [K] int32 spanning-tree parent (-1 root)
     kf_fixed_origin: jnp.ndarray  # [K] bool BA gauge anchors (Map origin KFs)
+    kf_seq: jnp.ndarray        # [K] int32 creation sequence number (the
+    #                            reference's monotonically-increasing mnId,
+    #                            include/KeyFrame.h — slots are RECYCLED
+    #                            after culling, so slot order is not age)
     # per-feature arrays
     kf_xy: jnp.ndarray         # [K, F, 2] undistorted level-0 coords
     kf_right: jnp.ndarray      # [K, F] right-image u (-1 mono/no match)
@@ -98,6 +102,7 @@ def empty_map_state(cfg: SlamConfig) -> MapState:
         kf_map=jnp.full(K, NONE, i32),
         kf_parent=jnp.full(K, NONE, i32),
         kf_fixed_origin=jnp.zeros(K, bool),
+        kf_seq=jnp.full(K, NONE, i32),
         kf_xy=jnp.zeros((K, F, 2)),
         kf_right=jnp.full((K, F), -1.0),
         kf_depth=jnp.full((K, F), -1.0),

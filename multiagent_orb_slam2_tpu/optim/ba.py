@@ -309,7 +309,7 @@ def _full_chunk(carry, kf_i, Y_i, Wb_i, Ht_i, bt_i, Ybp_i, KK, cp, M):
 
 def _build_and_solve_fast(prob, pre, q, t, pw, cam, lam, delta2_m, delta2_s,
                           use_huber, chunk, pcg_iters, psum_axis=None,
-                          x0=None, band=None):
+                          x0=None, band=None, band_data=None):
     K = q.shape[0]
     P, M = prob.obs_kf.shape
     E = P * M
@@ -398,22 +398,15 @@ def _build_and_solve_fast(prob, pre, q, t, pw, cam, lam, delta2_m, delta2_s,
         # order), so the one-hot / cross-term matmuls only need width R+1
         # instead of KK — an (R/K)^2 FLOP cut on the dominant S product.
         # Points whose observations leave their chunk's window (loop/fusion
-        # points) go through an exact full-width overflow pass of static
-        # capacity OC; if even that overflows, lax.cond falls back to the
-        # full scan. Bitwise-exact semantics either way.
+        # points) go through an exact full-width overflow pass whose static
+        # capacity OC is chosen ON THE HOST from the true overflow count
+        # (ba_solve_fast), so no in-jit fallback branch is ever compiled —
+        # an earlier lax.cond fallback doubled the program and blew compile
+        # time past 5 minutes on TPU. Bitwise-exact semantics regardless.
         # ------------------------------------------------------------------
         R, OC = band
+        base_c, inb_c, ov_idx = band_data
         kfP = jnp.where(active > 0, kf_e, K).reshape(P, M)
-        actP = active.reshape(P, M) > 0
-        kf_max = jnp.max(jnp.where(actP, kfP, -1), axis=1)        # [P]
-        kf_min = jnp.min(kfP, axis=1)                             # [P]
-        base_c = jnp.min(kf_min.reshape(n_chunks, cp), axis=1)    # [n_chunks]
-        base_c = jnp.clip(base_c, 0, max(K - R, 0))
-        has_act = jnp.any(actP, axis=1)
-        in_band = (kf_max < jnp.repeat(base_c, cp) + R) | ~has_act
-        n_ov = jnp.sum(~in_band)
-        ov_idx = jnp.nonzero(~in_band, size=OC, fill_value=P)[0]  # [OC]
-        inb_c = in_band.reshape(n_chunks, cp)
 
         def banded(_):
             def body(carry, inp):
@@ -485,8 +478,7 @@ def _build_and_solve_fast(prob, pre, q, t, pw, cam, lam, delta2_m, delta2_s,
             return (S_k + S_ov, rhs_p + rhs_ov, Hcc_f + Hcc_ov,
                     bc_f + bc_ov)
 
-        S_flat, rhs_p, Hcc_f, bc_f = jax.lax.cond(
-            n_ov <= OC, banded, full_scan, None)
+        S_flat, rhs_p, Hcc_f, bc_f = banded(None)
 
     cost0 = tm.cost
     if psum_axis is not None:
@@ -553,34 +545,81 @@ def _build_and_solve_fast(prob, pre, q, t, pw, cam, lam, delta2_m, delta2_s,
     return dc, dp, cost0
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("cam", "n_iters", "use_huber", "chunk",
-                                    "pcg_iters", "band"))
 def ba_solve_fast(prob: BAProblem, cam: Intrinsics, n_iters: int = 10,
                   use_huber: bool = True, chi2_mono: float = 5.991,
                   chi2_stereo: float = 7.815, chunk: int = 4096,
                   pcg_iters: int = 32, band="auto") -> BAResult:
     """TPU-tuned ba_solve: identical semantics, E-major kernels + PCG.
 
-    band: None for the full-width one-hot assembly, (R, OC) for banded
-    assembly with pose-window R and overflow capacity OC, or "auto" to
-    pick from the static problem shape (banded only pays off once the
-    pose count makes the KK-wide cross-term matmul dominant).
-    """
-    K = prob.q.shape[0]
-    P = prob.pw.shape[0]
-    if band == "auto":
-        band = (64, max(256, P // 16)) if (K >= 192 and P >= 8192) else None
+    band: None for the full-width one-hot assembly, an int R for banded
+    assembly with pose-window R, or "auto" to pick from the static problem
+    shape (banded only pays off once the pose count makes the KK-wide
+    cross-term matmul dominant).
 
-    perm = None
-    if band is not None:
-        # Sort points by their minimum observing pose so each chunk's poses
-        # fall inside a narrow window. Point order is arbitrary for BA
-        # (observations are grouped per point); results are un-permuted on
-        # return. One [P]-argsort + row gathers per solve.
-        okm = prob.obs_mask & (prob.obs_kf >= 0)
-        kf_min = jnp.min(jnp.where(okm, prob.obs_kf, K + 1), axis=1)
-        perm = jnp.argsort(kf_min)
+    Host wrapper: band classification (point sort by first observing pose,
+    per-chunk window bases, overflow set) runs in numpy HERE so the jitted
+    program contains exactly one assembly variant with a host-sized exact
+    overflow pass — no data-dependent fallback branch to compile.
+    """
+    import numpy as np
+    K = prob.q.shape[0]
+    P, M = prob.obs_kf.shape
+    if band == "auto":
+        band = 64 if (K >= 192 and P >= 8192) else None
+    if isinstance(jnp.asarray(prob.obs_kf), jax.core.Tracer):
+        # called under an outer jit (e.g. steps.local_ba_step): the host
+        # classification can't read traced values — use the full-width
+        # assembly, which needs no host-side preprocessing
+        band = None
+
+    if band is None:
+        return _ba_fast_jit(prob, None, None, cam, n_iters, use_huber,
+                            chi2_mono, chi2_stereo, chunk, pcg_iters, None)
+
+    R = int(band) if not isinstance(band, tuple) else band[0]
+    # Sort points by their minimum observing pose so each chunk's poses
+    # fall inside a narrow window. Point order is arbitrary for BA
+    # (observations are grouped per point); results are un-permuted on
+    # return.
+    obs_kf = np.asarray(prob.obs_kf)
+    obs_mask = np.asarray(prob.obs_mask) & (obs_kf >= 0)
+    kf_min = np.where(obs_mask, obs_kf, K + 1).min(axis=1)
+    perm = np.argsort(kf_min, kind="stable").astype(np.int32)
+
+    n_chunks = max(P // chunk, 1)
+    while P % n_chunks:
+        n_chunks -= 1
+    cp = P // n_chunks
+    kf_min_s = np.clip(kf_min[perm], 0, K)
+    kf_max_s = np.where(obs_mask, obs_kf, -1).max(axis=1)[perm]
+    has_act = obs_mask.any(axis=1)[perm]
+    base_c = np.clip(kf_min_s.reshape(n_chunks, cp).min(axis=1),
+                     0, max(K - R, 0)).astype(np.int32)
+    in_band = (kf_max_s < np.repeat(base_c, cp) + R) | ~has_act
+    ov = np.nonzero(~in_band)[0]
+    # overflow capacity: power-of-two bucket of the true count (>= 64), so
+    # recompiles only happen when the overflow population jumps a bucket
+    OC = 64
+    while OC < len(ov):
+        OC *= 2
+    ov_idx = np.full(OC, P, np.int32)
+    ov_idx[:len(ov)] = ov
+    return _ba_fast_jit(
+        prob, jnp.asarray(perm),
+        (jnp.asarray(base_c), jnp.asarray(in_band.reshape(n_chunks, cp)),
+         jnp.asarray(ov_idx)),
+        cam, n_iters, use_huber, chi2_mono, chi2_stereo, chunk, pcg_iters,
+        (R, OC))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cam", "n_iters", "use_huber", "chunk",
+                                    "pcg_iters", "band"))
+def _ba_fast_jit(prob: BAProblem, perm, band_data, cam: Intrinsics,
+                 n_iters: int, use_huber: bool, chi2_mono: float,
+                 chi2_stereo: float, chunk: int, pcg_iters: int,
+                 band) -> BAResult:
+    if perm is not None:
         prob = prob._replace(
             pw=prob.pw[perm], point_valid=prob.point_valid[perm],
             obs_kf=prob.obs_kf[perm], obs_uvr=prob.obs_uvr[perm],
@@ -604,7 +643,8 @@ def ba_solve_fast(prob: BAProblem, cam: Intrinsics, n_iters: int = 10,
         q, t, pw, qb, tb, pwb, cost_prev, lam, dc_prev = carry
         dc, dp, cost_here = _build_and_solve_fast(
             prob, pre, q, t, pw, cam, lam, chi2_mono, chi2_stereo,
-            use_huber, chunk, pcg_iters, x0=dc_prev, band=band)
+            use_huber, chunk, pcg_iters, x0=dc_prev, band=band,
+            band_data=band_data)
         improved = cost_here <= cost_prev
         lam = jnp.clip(jnp.where(improved, lam * 0.5, lam * 5.0), 1e-8, 1e4)
 

@@ -75,8 +75,12 @@ class LoopCloser:
         valid = st.kf_feat_valid[kf_slot]
         self.db, words, vec = kfdb_mod.add_keyframe(self.db, self.vocab,
                                                     kf_slot, desc, valid)
-        if kf_slot - self.last_loop_kf < self.cfg.loop.refractory_kfs \
-                or shared.n_kf < self.cfg.loop.refractory_kfs:
+        # refractory window in creation-sequence numbers, not slots (slots
+        # are recycled; reference counts keyframe mnIds,
+        # src/LoopClosing.cc:137)
+        uid = int(shared.kf_uid[kf_slot])
+        if uid - self.last_loop_kf < self.cfg.loop.refractory_kfs \
+                or shared.n_created < self.cfg.loop.refractory_kfs:
             return None
 
         cand = self._detect(shared, kf_slot, words, valid, vec)
@@ -236,15 +240,19 @@ class LoopCloser:
         if total < cfg.loop.min_total_matches:
             return None
 
-        self.last_loop_kf = kf_q
+        self.last_loop_kf = int(shared.kf_uid[kf_q])
         return Sim3Match(kf_query=kf_q, kf_match=kf_m, s=float(opt.s),
                          q=np.asarray(opt.q), t=np.asarray(opt.t),
                          point_ids=np.asarray(ids), n_matches=int(total))
 
     def _search_by_sim3(self, st, kf_q, kf_m, s, q, t):
         """Sim3-guided bidirectional windowed matching between the two
-        keyframes' map points (SearchBySim3). Returns new
-        (fq, fm, mp_q, mp_m) arrays or None."""
+        keyframes' map points (SearchBySim3, src/ORBmatcher.cc:1104-1327):
+        match-side points are projected into the query frame through
+        S_qm * T_mw, query-side points into the match frame through
+        S_qm^-1 * T_qw, and ONLY pairs on which both directions agree
+        (vnMatch1[i] == j and vnMatch2[j] == i, reference :1303-1320)
+        survive. Returns new (fq, fm, mp_q, mp_m) arrays or None."""
         cfg = self.cfg
         F = st.kf_mp.shape[1]
         P = st.mp_pos.shape[0]
@@ -257,32 +265,45 @@ class LoopCloser:
                 valid=st.kf_feat_valid[k], u_right=st.kf_right[k],
                 depth=st.kf_depth[k])
 
-        # match-side points projected into the query frame through S_qm*Tmw
-        s_c, q_c, t_c = sim3.compose(s, q, t,
-                                     *sim3.from_se3(st.kf_q[kf_m],
-                                                    st.kf_t[kf_m]))
-        mp_m_row = st.kf_mp[kf_m]
-        mask_m = (mp_m_row >= 0) & st.kf_feat_valid[kf_m]
-        pw = st.mp_pos[jnp.clip(mp_m_row, 0, P - 1)]
-        pc = sim3.apply(jnp.broadcast_to(s_c, (F,)),
-                        jnp.broadcast_to(q_c, (F, 4)),
-                        jnp.broadcast_to(t_c, (F, 3)), pw)
-        z = jnp.maximum(pc[:, 2], 1e-6)
-        uv = jnp.stack([cfg.camera.fx * pc[:, 0] / z + cfg.camera.cx,
-                        cfg.camera.fy * pc[:, 1] / z + cfg.camera.cy], -1)
-        vis = (pc[:, 2] > 0.05) & (uv[:, 0] >= 0) \
-            & (uv[:, 0] < cfg.camera.width) & (uv[:, 1] >= 0) \
-            & (uv[:, 1] < cfg.camera.height)
-        res = matchers.match_window(kf_feats(kf_q), st.kf_desc[kf_m],
-                                    mask_m & vis, uv, radius=7.5,
-                                    th=cfg.matcher.th_high)
-        frame_assign, res = matchers.resolve_conflicts(res, F)
-        ok = np.asarray(res.ok)
-        if ok.sum() == 0:
+        def project_dir(src_kf, dst_kf, s_c, q_c, t_c):
+            """Window-match src_kf's points projected into dst_kf's image
+            through the Sim3 camera (s_c, q_c, t_c): world -> dst cam."""
+            mp_row = st.kf_mp[src_kf]
+            mask = (mp_row >= 0) & st.kf_feat_valid[src_kf]
+            pw = st.mp_pos[jnp.clip(mp_row, 0, P - 1)]
+            pc = sim3.apply(jnp.broadcast_to(s_c, (F,)),
+                            jnp.broadcast_to(q_c, (F, 4)),
+                            jnp.broadcast_to(t_c, (F, 3)), pw)
+            z = jnp.maximum(pc[:, 2], 1e-6)
+            uv = jnp.stack([cfg.camera.fx * pc[:, 0] / z + cfg.camera.cx,
+                            cfg.camera.fy * pc[:, 1] / z + cfg.camera.cy], -1)
+            vis = (pc[:, 2] > 0.05) & (uv[:, 0] >= 0) \
+                & (uv[:, 0] < cfg.camera.width) & (uv[:, 1] >= 0) \
+                & (uv[:, 1] < cfg.camera.height)
+            res = matchers.match_window(kf_feats(dst_kf), st.kf_desc[src_kf],
+                                        mask & vis, uv, radius=7.5,
+                                        th=cfg.matcher.th_high)
+            _, res = matchers.resolve_conflicts(res, F)
+            # [F] array over src features: matched dst feature or -1
+            return np.where(np.asarray(res.ok),
+                            np.asarray(res.best_feat), -1)
+
+        # forward: match-KF points -> query image (S_qm * T_mw)
+        fwd = project_dir(kf_m, kf_q, *sim3.compose(
+            s, q, t, *sim3.from_se3(st.kf_q[kf_m], st.kf_t[kf_m])))
+        # reverse: query-KF points -> match image (S_qm^-1 * T_qw)
+        rev = project_dir(kf_q, kf_m, *sim3.compose(
+            *sim3.inverse(s, q, t),
+            *sim3.from_se3(st.kf_q[kf_q], st.kf_t[kf_q])))
+
+        # agreement check: fwd[fm] == fq AND rev[fq] == fm
+        fm2 = np.nonzero(fwd >= 0)[0]
+        fq2 = fwd[fm2]
+        agree = rev[fq2] == fm2
+        fm2, fq2 = fm2[agree], fq2[agree]
+        if len(fm2) == 0:
             return None
-        fm2 = np.arange(F)[ok]
-        fq2 = np.asarray(res.best_feat)[ok]
-        mp_m2 = np.asarray(mp_m_row)[fm2]
+        mp_m2 = np.asarray(st.kf_mp[kf_m])[fm2]
         mp_q2 = np.asarray(st.kf_mp[kf_q])[fq2]
         good = (mp_q2 >= 0) & (mp_m2 >= 0)
         return fq2[good], fm2[good], mp_q2[good], mp_m2[good]
@@ -415,42 +436,43 @@ def correct_neighborhood(st: ms.MapState, kf_q: int, s, q, t,
         mp_pos=mp_pos)
 
 
-def build_essential_edges(st: ms.MapState, loop_edges, cfg: SlamConfig,
-                          max_edges: int = 8192) -> pg.PoseGraphEdges:
+def build_essential_edges(st: ms.MapState, loop_edges, cfg: SlamConfig
+                          ) -> pg.PoseGraphEdges:
     """Edge set of the essential graph (src/Optimizer.cc:850-930): spanning
     tree + stored loop edges + strong covisibility (>= strong_covis_min_feat).
-    Measurements from current estimates."""
+    Measurements from current estimates.
+
+    Fully vectorized mask extraction (no per-KF host loops), and capacity is
+    EXACT for the edge set: sized from the true edge count (rounded up to a
+    512 multiple so jit caches stay warm across calls), never truncated —
+    the reference optimizes the full edge set (src/Optimizer.cc:850-930)."""
     K = st.kf_q.shape[0]
     covis = np.asarray(st.covis)
     valid = np.asarray(st.kf_valid)
     parent = np.asarray(st.kf_parent)
 
-    ei, ej = [], []
-    # spanning tree
-    for k in range(K):
-        if valid[k] and parent[k] >= 0 and valid[parent[k]]:
-            ei.append(parent[k])
-            ej.append(k)
-    # strong covisibility (upper triangle, dedup vs spanning tree is
+    # spanning tree: (parent[k], k) for every valid KF with a valid parent
+    sp_ok = valid & (parent >= 0) & valid[np.clip(parent, 0, K - 1)]
+    sp_j = np.nonzero(sp_ok)[0]
+    sp_i = parent[sp_j]
+    # strong covisibility (upper triangle; dedup vs spanning tree is
     # harmless: duplicate edges only double-weight an already-consistent
     # constraint)
     th = cfg.optimizer.strong_covis_min_feat
-    ii, jj = np.nonzero(np.triu(covis, 1) >= th)
-    for a, b in zip(ii.tolist(), jj.tolist()):
-        if valid[a] and valid[b]:
-            ei.append(a)
-            ej.append(b)
-    for (a, b) in loop_edges:
-        ei.append(a)
-        ej.append(b)
+    cv = (np.triu(covis, 1) >= th) & valid[:, None] & valid[None, :]
+    cv_i, cv_j = np.nonzero(cv)
+    lp = np.asarray(loop_edges, np.int32).reshape(-1, 2)
+    ei = np.concatenate([sp_i, cv_i, lp[:, 0]]).astype(np.int32)
+    ej = np.concatenate([sp_j, cv_j, lp[:, 1]]).astype(np.int32)
 
-    E = max_edges
-    n = min(len(ei), E)
-    i_arr = np.full(E, 0, np.int32)
-    j_arr = np.full(E, 0, np.int32)
+    n = len(ei)
+    E = max(512, -(-n // 512) * 512)
+    assert n <= E, "essential-graph edge set truncated"
+    i_arr = np.zeros(E, np.int32)
+    j_arr = np.zeros(E, np.int32)
     v_arr = np.zeros(E, bool)
-    i_arr[:n] = ei[:n]
-    j_arr[:n] = ej[:n]
+    i_arr[:n] = ei
+    j_arr[:n] = ej
     v_arr[:n] = True
 
     i_j = jnp.asarray(i_arr)

@@ -154,12 +154,19 @@ def cull_points_step(state: ms.MapState, newest_kf_slot, cfg: SlamConfig):
     found/visible ratio is below 0.25, and recent points (created within the
     last 2 keyframes) that failed to accumulate observations.
 
-    Keyframe slots are allocated monotonically, so slot distance stands in
-    for the reference's keyframe-id arithmetic.
+    Age is measured in creation-sequence numbers (kf_seq — the reference's
+    keyframe mnId arithmetic), NOT slot indices: slots are recycled after
+    culling, so slot distance is meaningless. mp_first_kf records the
+    creation KF's SLOT; if that slot was itself culled and reused, the seq
+    read is from the newer occupant — harmless, since mp_first_kf only
+    gates points a couple of keyframes old, whose creation KF is recent.
     """
+    K = state.kf_q.shape[0]
     P = state.mp_pos.shape[0]
     ratio = state.mp_found / jnp.maximum(state.mp_visible, 1.0)
-    age = newest_kf_slot - state.mp_first_kf           # in KF slots
+    seq_new = state.kf_seq[newest_kf_slot]
+    seq_first = state.kf_seq[jnp.clip(state.mp_first_kf, 0, K - 1)]
+    age = seq_new - seq_first                          # in KF creations
     n_obs = state.mp_n_obs()
     bad = state.mp_valid & (
         (ratio < cfg.mapping.mp_cull_found_ratio)
@@ -254,6 +261,7 @@ def erase_keyframe_step(state: ms.MapState, kf_slot):
         kf_mp=state.kf_mp.at[kf_slot].set(NONE),
         kf_feat_valid=state.kf_feat_valid.at[kf_slot].set(False),
         kf_parent=kf_parent,
+        kf_seq=state.kf_seq.at[kf_slot].set(NONE),
         covis=state.covis.at[kf_slot, :].set(0).at[:, kf_slot].set(0),
     )
 

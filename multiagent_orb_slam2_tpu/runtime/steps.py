@@ -295,6 +295,73 @@ def track_local_map_step(state: ms.MapState, feats: FrameFeatures, q, t,
     return TrackResult(q2, t2, frame_mp, n), new_state
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def track_frame_step(state: ms.MapState, feats: FrameFeatures,
+                     prev_feats: FrameFeatures, prev_frame_mp, ref_kf,
+                     q_pred, t_pred, use_min_obs_gate, cfg: SlamConfig):
+    """One-dispatch tracking cascade: motion model -> wide-window retry ->
+    reference-KF fallback -> local-map tracking (Track(),
+    src/Tracking.cc:318-327 + :943-987), with every small-scalar decision
+    the host needs packed into ONE output vector.
+
+    The host state machine previously issued 3-5 blocking int() device
+    reads per frame (one per cascade stage); on TPU each read costs a full
+    dispatch round trip. Here the cascade runs under lax.cond inside one
+    jitted program and the host fetches a single [5] decision vector:
+    [ok, n_inliers, tracked_close, untracked_close, ref_kf_matches].
+    """
+    tcfg = cfg.tracking
+    tr1 = track_motion_model_step(state, feats, prev_feats, prev_frame_mp,
+                                  q_pred, t_pred, cfg)
+
+    def wide(_):
+        return track_motion_model_step(state, feats, prev_feats,
+                                       prev_frame_mp, q_pred, t_pred, cfg,
+                                       radius_mult=2.0)
+
+    tr = jax.lax.cond(tr1.n_inliers < tcfg.min_matches_motion_model,
+                      wide, lambda _: tr1, None)
+
+    def refkf(_):
+        return track_reference_kf_step(state, feats, ref_kf, q_pred, t_pred,
+                                       cfg)
+
+    tr = jax.lax.cond(tr.n_inliers < tcfg.min_matches_ref_kf,
+                      refkf, lambda _: tr, None)
+    ok1 = tr.n_inliers >= 10
+
+    def local_map(_):
+        return track_local_map_step(state, feats, tr.q, tr.t, tr.frame_mp,
+                                    ref_kf, cfg)
+
+    tr2, new_state = jax.lax.cond(ok1, local_map,
+                                  lambda _: (tr, state), None)
+    ok = ok1 & (tr2.n_inliers >= tcfg.min_inliers_track_local_map)
+    out = TrackResult(
+        q=jnp.where(ok, tr2.q, tr.q), t=jnp.where(ok, tr2.t, tr.t),
+        frame_mp=jnp.where(ok, tr2.frame_mp, tr.frame_mp),
+        n_inliers=jnp.where(ok, tr2.n_inliers, tr.n_inliers))
+
+    # keyframe-decision counters (NeedNewKeyFrame, src/Tracking.cc:1016-1029)
+    close_th = tcfg.th_depth * cfg.camera.baseline
+    tracked = out.frame_mp >= 0
+    close = feats.valid & (feats.depth > 0) & (feats.depth < close_th)
+    tracked_close = jnp.sum(close & tracked)
+    untracked_close = jnp.sum(close & ~tracked)
+
+    # reference-KF tracked count (min obs 3 once the map has > 2 KFs)
+    K, F, P, O = state.caps
+    kf_mp = state.kf_mp[ref_kf]
+    kvalid = kf_mp >= 0
+    n_obs = state.mp_n_obs()[jnp.clip(kf_mp, 0, P - 1)]
+    ref_matches = jnp.where(
+        use_min_obs_gate, jnp.sum(kvalid & (n_obs >= 3)), jnp.sum(kvalid))
+
+    decision = jnp.stack([ok.astype(jnp.int32), out.n_inliers,
+                          tracked_close, untracked_close, ref_matches])
+    return out, new_state, decision
+
+
 # ---------------------------------------------------------------------------
 # Keyframe creation
 # ---------------------------------------------------------------------------

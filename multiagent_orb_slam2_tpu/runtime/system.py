@@ -79,10 +79,15 @@ class System:
         return out
 
     def _process_keyframes(self):
+        drained = False
         while self.tracker.culled_kf_slots:
             k = self.tracker.culled_kf_slots.pop(0)
             self.loop_closer.db = kfdb_mod.erase_keyframe(self.loop_closer.db,
                                                           k)
+            drained = True
+        if drained:
+            # database rows erased -> culled slots become reusable
+            self.shared.reclaim_slots()
         while self.tracker.new_kf_slots:
             kf_slot = self.tracker.new_kf_slots.pop(0)
             if not self.enable_loop_closing:
@@ -199,6 +204,7 @@ class System:
                 # keyframe unrelated to the recovered pose (and pick up that
                 # keyframe's future corrections instead of this one's)
                 tr.trajectory[-1].ref_kf = c
+                tr.trajectory[-1].ref_uid = int(self.shared.kf_uid[c])
                 tr.trajectory[-1].ref_q = np.asarray(st.kf_q[c])
                 tr.trajectory[-1].ref_t = np.asarray(st.kf_t[c])
             self.n_relocalizations += 1
@@ -241,6 +247,17 @@ class System:
         self.shared.state = state
         self.shared.n_kf = meta["n_kf"]
         self.shared.n_mp = meta["n_mp"]
+        # rebuild slot-recycling tables from the persisted kf_seq column
+        sh = self.shared
+        seq = np.asarray(state.kf_seq)
+        valid = np.asarray(state.kf_valid)
+        sh.kf_uid[:] = -1
+        sh.kf_uid[: len(seq)] = seq
+        sh.uid_slot = {int(seq[k]): int(k)
+                       for k in np.nonzero(valid & (seq >= 0))[0]}
+        sh.n_created = int(seq.max()) + 1 if (seq >= 0).any() else 0
+        sh.free_kf = [int(k) for k in range(sh.n_kf) if not valid[k]]
+        sh.pending_release = []
         # refresh the relocalization database from the restored keyframes
         for k in np.nonzero(np.asarray(state.kf_valid))[0]:
             self.loop_closer.db, _, _ = kfdb_mod.add_keyframe(

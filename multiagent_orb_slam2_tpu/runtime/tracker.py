@@ -10,8 +10,10 @@ machine.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -29,34 +31,147 @@ class TrackerState:
 
 
 class SharedMap:
-    """Owns the MapState arrays + slot allocation counters.
+    """Owns the MapState arrays + slot allocation / recycling bookkeeping.
 
     One per map in single-agent mode; the multi-agent server shares one
     across agents (the reference's Map + MultiMap roles).
+
+    Slot lifecycle (the reference's KeyFrame::SetBadFlag erase +
+    Map::EraseMapPoint reclamation, src/KeyFrame.cc, src/Map.cc):
+    - keyframes: culled slots go to `pending_release` until the database
+      owner (System / MultiAgentServer) has erased their BoW rows, then to
+      the `free_kf` list and are reused by alloc_kf. Every allocation gets a
+      monotonically increasing uid (the reference's mnId) — uids drive age
+      arithmetic (kf_seq), loop refractory windows, and trajectory-export
+      re-chaining, so slot reuse never aliases a dead keyframe.
+    - points: creation is contiguous from n_mp; when free capacity drops
+      below one frame's worth, `compact_points` packs the surviving points
+      to the front (one gather per array + a kf_mp rewrite) and rewinds
+      n_mp. Creation beyond capacity safely no-ops (scatter mode="drop")
+      and is counted in n_point_stalls.
     """
 
     def __init__(self, cfg: SlamConfig):
         self.cfg = cfg
         self.state = ms.empty_map_state(cfg)
-        self.n_kf = 0
+        self.n_kf = 0          # slot high-water mark
         self.n_mp = 0
-        # slot -> (parent_slot, rel_q, rel_t) at cull time: the reference's
+        self.n_created = 0     # total keyframes ever created (uid counter)
+        self.kf_uid = np.full(cfg.caps.max_keyframes, -1, np.int64)
+        self.uid_slot: dict[int, int] = {}   # live uid -> slot
+        self.free_kf: list[int] = []
+        self.pending_release: list[int] = []
+        self.trackers: list = []             # for compaction remaps
+        self.n_point_stalls = 0
+        self.n_compactions = 0
+        # uid -> (parent_uid, rel_q, rel_t) at cull time: the reference's
         # KeyFrame::mTcp chain used by SaveTrajectory* to re-chain frames
         # whose reference keyframe was later erased (src/System.cc:406-412)
         self.cull_info: dict[int, tuple] = {}
 
     def alloc_kf(self) -> int:
-        if self.n_kf >= self.cfg.caps.max_keyframes:
-            raise RuntimeError("keyframe capacity exhausted")
-        slot = self.n_kf
-        self.n_kf += 1
+        if self.free_kf:
+            slot = self.free_kf.pop()
+        elif self.n_kf < self.cfg.caps.max_keyframes:
+            slot = self.n_kf
+            self.n_kf += 1
+        else:
+            raise RuntimeError(
+                "keyframe capacity exhausted (no culled slots to recycle)")
+        uid = self.n_created
+        self.n_created += 1
+        self.kf_uid[slot] = uid
+        self.uid_slot[uid] = slot
+        self.state = self.state._replace(
+            kf_seq=self.state.kf_seq.at[slot].set(uid))
         return slot
+
+    def note_culled(self, slot: int, parent_slot: int, rel_q, rel_t):
+        """Record a culled keyframe's relative-pose chain entry and queue
+        its slot for reuse (after upstream database erasure)."""
+        uid = int(self.kf_uid[slot])
+        if uid >= 0:
+            if parent_slot is not None and parent_slot >= 0:
+                self.cull_info[uid] = (int(self.kf_uid[parent_slot]),
+                                       rel_q, rel_t)
+            self.uid_slot.pop(uid, None)
+        self.pending_release.append(slot)
+
+    def note_invalidated(self, slot: int):
+        """Keyframe invalidated without chain info (agent reset)."""
+        uid = int(self.kf_uid[slot])
+        self.uid_slot.pop(uid, None)
+        self.pending_release.append(slot)
+
+    def reclaim_slots(self):
+        """Move database-erased slots to the free list (called by the
+        System / server after draining culled_kf_slots)."""
+        self.free_kf.extend(self.pending_release)
+        self.pending_release.clear()
 
     def mp_base(self) -> int:
         return self.n_mp
 
     def commit_mp(self, n_new: int):
+        if self.n_mp + n_new > self.cfg.caps.max_points:
+            self.n_point_stalls += (self.n_mp + n_new
+                                    - self.cfg.caps.max_points)
         self.n_mp = min(self.n_mp + n_new, self.cfg.caps.max_points)
+        if self.cfg.caps.max_points - self.n_mp < self.cfg.caps.max_features:
+            self.compact_points()
+
+    def compact_points(self):
+        """Pack surviving points to the front of the point arrays, reclaiming
+        slots of culled/merged points (the reference's Map::EraseMapPoint +
+        delete). One host argwhere + a jitted permutation-gather; every
+        tracker's live frame->point row is remapped through the same LUT."""
+        P = self.cfg.caps.max_points
+        valid = np.asarray(self.state.mp_valid)
+        idx_valid = np.nonzero(valid)[0]
+        n_valid = len(idx_valid)
+        if n_valid >= self.n_mp:
+            return  # nothing to reclaim
+        perm = np.concatenate([idx_valid,
+                               np.nonzero(~valid)[0]]).astype(np.int32)
+        lut = np.full(P + 1, ms.NONE, np.int32)
+        lut[idx_valid] = np.arange(n_valid, dtype=np.int32)
+        perm_j = jnp.asarray(perm)
+        lut_j = jnp.asarray(lut)
+        self.state = _compact_points_apply(self.state, perm_j, lut_j)
+        for t in self.trackers:
+            if t.last_frame_mp is not None:
+                old = t.last_frame_mp
+                t.last_frame_mp = jnp.where(
+                    old >= 0, lut_j[jnp.clip(old, 0, P)], ms.NONE)
+        self.n_mp = n_valid
+        self.n_compactions += 1
+
+
+@functools.partial(jax.jit)
+def _compact_points_apply(state: ms.MapState, perm, lut):
+    """Permute every point-axis array by `perm` (valid points first) and
+    rewrite the forward map kf_mp through `lut` (old slot -> new slot).
+    The inverse observation rows ride the same permutation, so no rebuild
+    is needed."""
+    P = state.mp_pos.shape[0]
+    kf_mp = jnp.where(state.kf_mp >= 0,
+                      lut[jnp.clip(state.kf_mp, 0, P)], ms.NONE)
+    return state._replace(
+        kf_mp=kf_mp,
+        mp_pos=state.mp_pos[perm],
+        mp_valid=state.mp_valid[perm],
+        mp_desc=state.mp_desc[perm],
+        mp_normal=state.mp_normal[perm],
+        mp_min_dist=state.mp_min_dist[perm],
+        mp_max_dist=state.mp_max_dist[perm],
+        mp_ref_kf=state.mp_ref_kf[perm],
+        mp_agent=state.mp_agent[perm],
+        mp_map=state.mp_map[perm],
+        mp_visible=state.mp_visible[perm],
+        mp_found=state.mp_found[perm],
+        mp_first_kf=state.mp_first_kf[perm],
+        mp_obs_kf=state.mp_obs_kf[perm],
+        mp_obs_feat=state.mp_obs_feat[perm])
 
 
 @dataclasses.dataclass
@@ -73,6 +188,7 @@ class FrameRecord:
     t: np.ndarray
     lost: bool
     ref_kf: int = -1
+    ref_uid: int = -1          # creation uid of ref_kf (slots are recycled)
     ref_q: Optional[np.ndarray] = None
     ref_t: Optional[np.ndarray] = None
 
@@ -107,6 +223,7 @@ class Tracker:
         self.trajectory: list[FrameRecord] = []
         self.new_kf_slots: list[int] = []    # queue for loop-closing stage
         self.culled_kf_slots: list[int] = []  # for database erasure upstream
+        shared.trackers.append(self)         # for point-compaction remaps
 
     # -- public API (System::TrackStereo / TrackRGBD equivalents) ---------
 
@@ -459,7 +576,10 @@ class Tracker:
             sh.state, culled, cull_info = mapping.keyframe_culling(
                 sh.state, kf_slot, self.cfg)
             self.culled_kf_slots += culled
-            sh.cull_info.update(cull_info)
+            for slot in culled:
+                parent, rel_q, rel_t = cull_info.get(
+                    slot, (None, None, None))
+                sh.note_culled(slot, parent, rel_q, rel_t)
         # fusion may have remapped point identities; the keyframe's own
         # feature->point row is the authoritative post-fusion assignment
         frame_mp = sh.state.kf_mp[kf_slot]
@@ -467,16 +587,19 @@ class Tracker:
 
     def _record(self, lost: bool):
         ref_q = ref_t = None
+        ref_uid = -1
         if self.ref_kf >= 0:
             st = self.shared.state
             ref_q = np.asarray(st.kf_q[self.ref_kf])
             ref_t = np.asarray(st.kf_t[self.ref_kf])
+            ref_uid = int(self.shared.kf_uid[self.ref_kf])
         self.trajectory.append(FrameRecord(
             frame_id=self.frame_id,
             q=np.asarray(self.last_q) if self.last_q is not None else np.array(
                 [1.0, 0, 0, 0]),
             t=np.asarray(self.last_t) if self.last_t is not None else np.zeros(3),
-            lost=lost, ref_kf=self.ref_kf, ref_q=ref_q, ref_t=ref_t))
+            lost=lost, ref_kf=self.ref_kf, ref_uid=ref_uid,
+            ref_q=ref_q, ref_t=ref_t))
 
     def reset(self):
         """Tracking::Reset (src/Tracking.cc:1522-1572): drop this agent's
@@ -487,8 +610,9 @@ class Tracker:
         st = sh.state
         mine_kf = (st.kf_agent == self.agent) & st.kf_valid
         mine_mp = (st.mp_agent == self.agent) & st.mp_valid
-        self.culled_kf_slots += [int(k) for k in
-                                 np.nonzero(np.asarray(mine_kf))[0]]
+        for k in np.nonzero(np.asarray(mine_kf))[0]:
+            self.culled_kf_slots.append(int(k))
+            sh.note_invalidated(int(k))
         st = st._replace(
             kf_valid=st.kf_valid & ~mine_kf,
             kf_feat_valid=jnp.where(mine_kf[:, None], False,
@@ -519,13 +643,17 @@ class Tracker:
         keyframe, re-anchored on that keyframe's CURRENT (loop-corrected /
         GBA-corrected) pose; if the reference keyframe was culled, the
         relative pose is chained through the spanning tree via the mTcp
-        snapshots taken at cull time. Returns [(frame_id, lost, q_cw, t_cw)].
+        snapshots taken at cull time. Chains are keyed by keyframe UID, not
+        slot — slots are recycled, so a slot-keyed walk could silently
+        anchor on an unrelated newer keyframe.
+        Returns [(frame_id, lost, q_cw, t_cw)].
         """
-        st = self.shared.state
+        sh = self.shared
+        st = sh.state
         kf_valid = np.asarray(st.kf_valid)
         kf_q = np.asarray(st.kf_q)
         kf_t = np.asarray(st.kf_t)
-        cull_info = self.shared.cull_info
+        cull_info = sh.cull_info
         out = []
         # frames whose reference-KF chain dead-ends (culled without a
         # cull_info entry, e.g. reset) fall back to raw track-time poses;
@@ -536,20 +664,25 @@ class Tracker:
             if rec.ref_kf >= 0 and rec.ref_q is not None:
                 # T_frame<-ref at track time
                 rel_q, rel_t = _np_relative(rec.q, rec.t, rec.ref_q, rec.ref_t)
-                k = rec.ref_kf
+                uid = rec.ref_uid
                 ok = True
                 # chain through culled reference keyframes (KeyFrame::mTcp)
-                while not (0 <= k < len(kf_valid) and kf_valid[k]):
-                    info = cull_info.get(k)
+                while uid not in sh.uid_slot:
+                    info = cull_info.get(uid)
                     if info is None:
                         ok = False
                         self.export_fallbacks += 1
                         break
-                    parent, cq, ct = info
+                    parent_uid, cq, ct = info
                     rel_q, rel_t = _np_compose(rel_q, rel_t, cq, ct)
-                    k = parent
+                    uid = parent_uid
                 if ok:
-                    q_cw, t_cw = _np_compose(rel_q, rel_t, kf_q[k], kf_t[k])
+                    k = sh.uid_slot[uid]
+                    if kf_valid[k]:
+                        q_cw, t_cw = _np_compose(rel_q, rel_t, kf_q[k],
+                                                 kf_t[k])
+                    else:
+                        self.export_fallbacks += 1
             out.append((rec.frame_id, rec.lost, q_cw, t_cw))
         return out
 

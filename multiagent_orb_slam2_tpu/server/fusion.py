@@ -9,6 +9,8 @@ parent-pointer rewrite along the query chain.
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -115,30 +117,62 @@ def merge_maps(shared, multimap, match: lc.Sim3Match, cur_map: int,
     return n_moved
 
 
+@functools.partial(jax.jit, static_argnames=())
+def _batched_cd_candidates(db, vocab, desc_b, valid_b, moved_mask, covis):
+    """Candidate masks for ALL moved keyframes in one program: a batched BoW
+    transform + one score/common-word matrix + the grouped-candidate filter,
+    vmapped over the query axis (the reference's per-KF
+    DetectCovisibilityCandidates loop, src/MapFusion.cc:819-820, done as one
+    masked matrix computation)."""
+    def one(desc, valid):
+        from ..vocab import bow as bow_mod
+        words = bow_mod.transform_words(vocab, desc, valid)
+        vec = bow_mod.bow_vector(vocab, words, valid)
+        cand, _ = kfdb_mod.detect_covisibility_candidates(
+            db, words, valid, vec, moved_mask, covis)
+        return cand
+    return jax.vmap(one)(desc_b, valid_b)                   # [Nm, K]
+
+
 def covisibility_discovery(shared, server_db, vocab, moved_kf_slots,
-                           cfg: SlamConfig, max_kfs: int = 64):
+                           cfg: SlamConfig):
     """Cross-agent duplicate-point discovery over the moved keyframes
     (reference MapFusion::CovisibilityDiscovery, src/MapFusion.cc:774-964):
     for each moved KF, find BoW-similar KFs outside the moved set and fuse
-    each one's points into the moved KF. Returns number of fused candidates
-    processed."""
+    each one's points into the moved KF (both directions, reference
+    :903-910). Covers EVERY moved keyframe and every detected candidate —
+    no caps (the reference sweeps the full moved set).
+
+    Returns (n_processed, per_kf_ms): fused candidate count and the per-KF
+    wall-time list feeding the cd-sum/mean/stdev/med stats columns
+    (reference :933-956)."""
+    import time
     st = shared.state
     K, F, P, O = st.caps
     moved = np.zeros(K, bool)
     moved[moved_kf_slots] = True
+    if not moved_kf_slots:
+        return 0, []
+
+    # batched candidate detection over all moved KFs (padded to a bucket
+    # size so jit caches stay warm across fusions of different sizes)
+    slots = np.asarray(moved_kf_slots, np.int32)
+    Nm = len(slots)
+    pad = max(8, -(-Nm // 8) * 8)
+    slots_p = np.concatenate([slots, np.zeros(pad - Nm, np.int32)])
+    cand_b = _batched_cd_candidates(
+        server_db, vocab, st.kf_desc[jnp.asarray(slots_p)],
+        st.kf_feat_valid[jnp.asarray(slots_p)],
+        jnp.asarray(moved), st.covis)
+    cand_b = np.asarray(cand_b)[:Nm]                        # [Nm, K]
+
     n_processed = 0
-    for k in moved_kf_slots[:max_kfs]:
-        desc = st.kf_desc[k]
-        valid = st.kf_feat_valid[k]
-        from ..vocab import bow as bow_mod
-        words = bow_mod.transform_words(vocab, desc, valid)
-        vec = bow_mod.bow_vector(vocab, words, valid)
-        cand_mask, _ = kfdb_mod.detect_covisibility_candidates(
-            server_db, words, valid, vec, jnp.asarray(moved), st.covis)
-        cands = np.nonzero(np.asarray(cand_mask))[0]
-        for c in cands[:3]:
+    per_kf_ms = []
+    for row, k in zip(cand_b, slots.tolist()):
+        t0 = time.perf_counter()
+        for c in np.nonzero(row)[0].tolist():
             # fuse candidate KF's points into the moved KF and vice versa
-            ids = st.kf_mp[int(c)]
+            ids = shared.state.kf_mp[int(c)]
             ids = jnp.where(ids >= 0, ids, P)
             shared.state = mapping.fuse_into_kf(shared.state, ids, int(k), cfg)
             ids_k = shared.state.kf_mp[int(k)]
@@ -146,7 +180,9 @@ def covisibility_discovery(shared, server_db, vocab, moved_kf_slots,
             shared.state = mapping.fuse_into_kf(shared.state, ids_k, int(c),
                                                 cfg)
             n_processed += 1
+        jax.block_until_ready(shared.state.kf_mp)
+        per_kf_ms.append((time.perf_counter() - t0) * 1e3)
     if n_processed:
         shared.state = mapping.rebuild_observations(shared.state)
         shared.state = steps.recompute_covisibility(shared.state)
-    return n_processed
+    return n_processed, per_kf_ms

@@ -62,11 +62,15 @@ class MultiAgentServer:
         closing; KFs that are not intra-map loops go to fusion detection
         (reference src/LoopClosing.cc:82-95)."""
         for agent, tracker in self.trackers.items():
+            drained = False
             while tracker.culled_kf_slots:
                 k = tracker.culled_kf_slots.pop(0)
                 self.db = kfdb_mod.erase_keyframe(self.db, k)
                 self.loop_closers[agent].db = kfdb_mod.erase_keyframe(
                     self.loop_closers[agent].db, k)
+                drained = True
+            if drained:
+                self.shared.reclaim_slots()
             while tracker.new_kf_slots:
                 kf_slot = tracker.new_kf_slots.pop(0)
                 tracker.map_id = self.multimap.map_of(agent)
@@ -140,6 +144,17 @@ class MultiAgentServer:
         dst_map = int(np.asarray(st.kf_map)[match.kf_match])
 
         moved = np.nonzero(np.asarray(st.kf_map) == cur_map)[0].tolist()
+        # pre-fusion map sizes (reference stats columns ckf/cmp/mkf/mmp —
+        # KF and MP counts of the current and matched maps at fusion time,
+        # writers src/MapFusion.cc:728-733)
+        kf_map = np.asarray(st.kf_map)
+        mp_map = np.asarray(st.mp_map)
+        kf_valid = np.asarray(st.kf_valid)
+        mp_valid = np.asarray(st.mp_valid)
+        cmp_ = int(((mp_map == cur_map) & mp_valid).sum())
+        mkf = int(((kf_map == dst_map) & kf_valid).sum())
+        mmp = int(((mp_map == dst_map) & mp_valid).sum())
+
         t0 = time.perf_counter()
         n_moved = fusion.merge_maps(self.shared, self.multimap, match,
                                     cur_map, dst_map, cfg,
@@ -147,8 +162,8 @@ class MultiAgentServer:
         mf_ms = (time.perf_counter() - t0) * 1e3
 
         t0 = time.perf_counter()
-        n_cd = fusion.covisibility_discovery(self.shared, self.db, self.vocab,
-                                             moved, cfg)
+        n_cd, cd_per_kf = fusion.covisibility_discovery(
+            self.shared, self.db, self.vocab, moved, cfg)
         cd_ms = (time.perf_counter() - t0) * 1e3
 
         gba_ms = 0.0
@@ -158,10 +173,15 @@ class MultiAgentServer:
                                                             cfg)
             gba_ms = (time.perf_counter() - t0) * 1e3
 
-        # stats.csv schema equivalent (reference generic_split_seq.cc:140-144)
-        self.stats.append(dict(sim3_ms=sim3_ms, mf_ms=mf_ms, ckf=n_moved,
-                               cd_ms=cd_ms, gba_ms=gba_ms,
-                               cur_map=cur_map, dst_map=dst_map))
+        # stats.csv schema equivalent (reference generic_split_seq.cc:140-144;
+        # cd aggregate columns per src/MapFusion.cc:933-956)
+        cd_arr = np.asarray(cd_per_kf) if cd_per_kf else np.zeros(1)
+        self.stats.append(dict(
+            sim3_ms=sim3_ms, mf_ms=mf_ms, ckf=n_moved, cmp=cmp_, mkf=mkf,
+            mmp=mmp, cd_ms=cd_ms, cd_sum_ms=float(cd_arr.sum()),
+            cd_mean_ms=float(cd_arr.mean()), cd_stdev_ms=float(cd_arr.std()),
+            cd_med_ms=float(np.median(cd_arr)), n_cd=n_cd, gba_ms=gba_ms,
+            cur_map=cur_map, dst_map=dst_map))
 
     # -- shutdown (reference Shutdown/ShutdownSystems) ---------------------
 
