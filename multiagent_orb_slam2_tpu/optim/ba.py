@@ -56,6 +56,7 @@ class BAResult(NamedTuple):
     cost: jnp.ndarray         # final robust cost
     obs_chi2: jnp.ndarray     # [P, M] final per-observation chi2
     n_iters: jnp.ndarray
+    band_ov: jnp.ndarray = None  # banded path: out-of-band point count
 
 
 def _obs_terms(prob: BAProblem, q, t, pw, cam, delta2_m, delta2_s, use_huber):
@@ -307,9 +308,72 @@ def _full_chunk(carry, kf_i, Y_i, Wb_i, Ht_i, bt_i, Ybp_i, KK, cp, M):
     return (S_acc, rhs_acc, Hcc_acc, bc_acc)
 
 
+def _classify_band(prob: BAProblem, chunk: int, R: int, OC: int, snap: int):
+    """Banded-assembly classification, entirely on device (jit-safe).
+
+    Sorts points by their minimum observing pose id so each chunk of
+    consecutive points observes poses inside a narrow window; per-chunk
+    window bases are snapped DOWN to a multiple of `snap` so the byte
+    offset 6*base of the in-band S patch is lane-tile aligned on TPU
+    (snap=64 -> 6*64=384 = 3 x 128 lanes: the dynamic-slice update needs
+    no lane rotation). Points whose observations leave their chunk's
+    window are routed to an exact full-width overflow pass of static
+    capacity OC.
+
+    Returns (perm, base_c [n_chunks], in_band [n_chunks, cp],
+    ov_idx [OC], ov_count). If ov_count > OC the excess points' ASSEMBLY
+    contributions are dropped (the LM cost/accept test still sees every
+    observation, so steps can only be suboptimal, never divergent);
+    non-traced callers re-solve full-width when that happens
+    (ba_solve_fast)."""
+    K = prob.q.shape[0]
+    P, M = prob.obs_kf.shape
+    mask = prob.obs_mask & (prob.obs_kf >= 0)
+    kf_min = jnp.min(jnp.where(mask, prob.obs_kf, K + 1), axis=1)
+    perm = jnp.argsort(kf_min, stable=True).astype(jnp.int32)
+    n_chunks = max(P // chunk, 1)
+    while P % n_chunks:
+        n_chunks -= 1
+    cp = P // n_chunks
+    kf_min_s = jnp.clip(kf_min[perm], 0, K)
+    kf_max_s = jnp.max(jnp.where(mask, prob.obs_kf, -1), axis=1)[perm]
+    has_act = jnp.any(mask, axis=1)[perm]
+    cmin = jnp.min(kf_min_s.reshape(n_chunks, cp), axis=1)
+    # bases stay exact multiples of snap (the per-base patch stack relies on
+    # base == bid * snap); the clamp can strand up to snap-1 top poses
+    # outside every window — their points just take the exact overflow path
+    b_max = (max(K - R, 0) // snap) * snap
+    base_c = jnp.minimum((cmin // snap) * snap, b_max).astype(jnp.int32)
+    base_p = jnp.repeat(base_c, cp)
+    in_band = ((kf_min_s >= base_p) & (kf_max_s < base_p + R)) | ~has_act
+    ov_idx = jnp.nonzero(~in_band, size=OC, fill_value=P)[0].astype(jnp.int32)
+    ov_count = jnp.sum(~in_band)
+    return perm, base_c, in_band.reshape(n_chunks, cp), ov_idx, ov_count
+
+
+def _band_onehot(prob: BAProblem, base_c, inb_c, R: int):
+    """Iteration-invariant banded one-hot [n_chunks, ce, R], built ONCE per
+    solve and streamed by every LM iteration's assembly scan (rebuilding it
+    per iteration measured ~2.8 ms/iter at bench scale). Rows of invalid /
+    out-of-band observations are zeroed; their contributions come back via
+    the exact overflow pass."""
+    K = prob.q.shape[0]
+    P, M = prob.obs_kf.shape
+    active = prob.obs_mask & (prob.obs_kf >= 0) & prob.point_valid[:, None]
+    kf = jnp.where(active, jnp.clip(prob.obs_kf, 0, K - 1), K)    # [P, M]
+    n_chunks = inb_c.shape[0]
+    cp = P // n_chunks
+    kf_c = kf.reshape(n_chunks, cp * M)
+    okp = jnp.repeat(inb_c, M, axis=1) & (kf_c < K)
+    rel = jnp.clip(kf_c - base_c[:, None], 0, R - 1)
+    return jax.nn.one_hot(rel, R, dtype=jnp.float32) \
+        * okp[..., None].astype(jnp.float32)
+
+
 def _build_and_solve_fast(prob, pre, q, t, pw, cam, lam, delta2_m, delta2_s,
                           use_huber, chunk, pcg_iters, psum_axis=None,
-                          x0=None, band=None, band_data=None):
+                          x0=None, band=None, band_data=None,
+                          cross_bf16=False):
     K = q.shape[0]
     P, M = prob.obs_kf.shape
     E = P * M
@@ -394,68 +458,88 @@ def _build_and_solve_fast(prob, pre, q, t, pw, cam, lam, delta2_m, delta2_s,
     else:
         # ------------------------------------------------------------------
         # Banded assembly: each chunk's points usually observe poses inside
-        # a window of R consecutive ids (points are allocated in keyframe
-        # order), so the one-hot / cross-term matmuls only need width R+1
-        # instead of KK — an (R/K)^2 FLOP cut on the dominant S product.
-        # Points whose observations leave their chunk's window (loop/fusion
-        # points) go through an exact full-width overflow pass whose static
-        # capacity OC is chosen ON THE HOST from the true overflow count
-        # (ba_solve_fast), so no in-jit fallback branch is ever compiled —
-        # an earlier lax.cond fallback doubled the program and blew compile
-        # time past 5 minutes on TPU. Bitwise-exact semantics regardless.
+        # a window of R consecutive ids (points are sorted by minimum
+        # observing pose by _classify_band), so the dominant S cross-term
+        # matmul runs at width R instead of KK — an (R/K)^2 FLOP cut.
+        # Layout/precision choices (measured in tools/PROFILE_FINDINGS.md):
+        #   - ONE R-wide one-hot per chunk serves the diag AND cross terms
+        #     (out-of-band points contribute nothing here; the overflow
+        #     pass below restores them exactly);
+        #   - window bases are snapped so 6*base is lane-tile aligned — the
+        #     earlier unaligned dynamic-slice updates cost more than the
+        #     FLOPs they saved;
+        #   - the cross product can run in bf16 with f32 accumulation
+        #     (cross_bf16): the one-hot is exact in bf16 and LM's
+        #     accept/reject guards descent against the rounding.
+        # Exact classification; numerical divergence from the full path is
+        # roundoff-level (permutation changes f32 summation order; bf16
+        # rounds the cross terms) — see tests/test_ba_fast.py tolerances.
         # ------------------------------------------------------------------
-        R, OC = band
-        base_c, inb_c, ov_idx = band_data
+        R, OC, snap = band
+        base_c, inb_c, ov_idx, Of_all = band_data
         kfP = jnp.where(active > 0, kf_e, K).reshape(P, M)
+        cross_dt = jnp.bfloat16 if cross_bf16 else jnp.float32
+        # possible window bases: 0, snap, ..., <= K - R. The scan carries
+        # NOTHING — per-chunk patches stream out as scan outputs and are
+        # reduced per base by ONE one-hot segment matmul, then land in S
+        # via NB STATIC placements. Any dynamic-index accumulation inside
+        # the scan (dynamic_update_slice or .at[bid].add) measured
+        # 1.6-3.6 ms/iter EACH on TPU — see tools/PROFILE_FINDINGS.md.
+        NB = max(K - R, 0) // snap + 1
+        bid_c = base_c // snap
+        n_ch = kf_masked.shape[0]
 
         def banded(_):
-            def body(carry, inp):
-                S_acc, rhs_acc, Hcc_acc, bc_acc = carry
-                kf_i, Y_i, Wb_i, Ht_i, bt_i, Ybp_i, base_i, inb_i = inp
-                okp = jnp.repeat(inb_i, M) & (kf_i < K)
-                rel = jnp.where(okp, kf_i - base_i, R)
-                Of = jax.nn.one_hot(rel, R + 1, dtype=jnp.float32)
-                Hcc_l = jax.lax.dot_general(
-                    Ht_i, Of, (((1,), (0,)), ((), ())))[:, :R]
-                bc_l = jax.lax.dot_general(
-                    bt_i, Of, (((1,), (0,)), ((), ())))[:, :R]
-                rhs_l = jax.lax.dot_general(
-                    Ybp_i, Of, (((1,), (0,)), ((), ())))[:, :R]
+            def body(_c, inp):
+                Of, Y_i, Wb_i, Ht_i, bt_i, Ybp_i = inp
+                h = jax.lax.dot_general(Ht_i, Of, (((1,), (0,)), ((), ())))
+                b = jax.lax.dot_general(bt_i, Of, (((1,), (0,)), ((), ())))
+                r = jax.lax.dot_general(Ybp_i, Of, (((1,), (0,)), ((), ())))
 
-                def addc(acc, patch):
-                    cur = jax.lax.dynamic_slice(
-                        acc, (0, base_i), (acc.shape[0], R))
-                    return jax.lax.dynamic_update_slice(
-                        acc, cur + patch, (0, base_i))
-
-                Hcc_acc = addc(Hcc_acc, Hcc_l)
-                bc_acc = addc(bc_acc, bc_l)
-                rhs_acc = addc(rhs_acc, rhs_l)
-
-                O3 = Of.reshape(cp, M, R + 1)
+                O3 = Of.astype(cross_dt).reshape(cp, M, R)
                 Y3 = Y_i.reshape(6, 3, cp, M).transpose(2, 1, 0, 3).reshape(
-                    cp, 18, M)
+                    cp, 18, M).astype(cross_dt)
                 W3 = Wb_i.reshape(6, 3, cp, M).transpose(2, 1, 0, 3).reshape(
-                    cp, 18, M)
-                U = jax.lax.dot_general(Y3, O3, (((2,), (1,)), ((0,), (0,))))
-                V = jax.lax.dot_general(W3, O3, (((2,), (1,)), ((0,), (0,))))
-                U2 = U.reshape(cp * 3, 6 * (R + 1))
-                V2 = V.reshape(cp * 3, 6 * (R + 1))
+                    cp, 18, M).astype(cross_dt)
+                U = jax.lax.dot_general(Y3, O3, (((2,), (1,)), ((0,), (0,))),
+                                        preferred_element_type=jnp.float32)
+                V = jax.lax.dot_general(W3, O3, (((2,), (1,)), ((0,), (0,))),
+                                        preferred_element_type=jnp.float32)
+                U2 = U.reshape(cp * 3, 6 * R).astype(cross_dt)
+                V2 = V.reshape(cp * 3, 6 * R).astype(cross_dt)
                 S_l = jax.lax.dot_general(
-                    U2, V2, (((0,), (0,)), ((), ())))      # (a, rel)-major
-                # -> (rel, a)-major, drop the trash rel = R rows/cols
-                S_l = S_l.reshape(6, R + 1, 6, R + 1).transpose(
-                    1, 0, 3, 2).reshape(6 * (R + 1), 6 * (R + 1))
-                S_l = S_l[:6 * R, :6 * R]
-                cur = jax.lax.dynamic_slice(
-                    S_acc, (6 * base_i, 6 * base_i), (6 * R, 6 * R))
-                S_acc = jax.lax.dynamic_update_slice(
-                    S_acc, cur + S_l, (6 * base_i, 6 * base_i))
-                return (S_acc, rhs_acc, Hcc_acc, bc_acc), None
+                    U2, V2, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)    # (a, rel)-major
+                return None, (S_l, h, b, r)
 
-            (S_k, rhs_p, Hcc_f, bc_f), _ = jax.lax.scan(
-                body, carry0,
-                (kf_masked, Y_c, Wb_c, Ht_c, bt_c, Ybp_c, base_c, inb_c))
+            _, (S_ls, h_s, b_s, r_s) = jax.lax.scan(
+                body, None, (Of_all, Y_c, Wb_c, Ht_c, bt_c, Ybp_c))
+
+            # per-base reduction: one [NB, n_ch] one-hot matmul per output
+            Obid = jax.nn.one_hot(bid_c, NB, dtype=jnp.float32).T  # [NB, nc]
+            S_b = jax.lax.dot_general(
+                Obid, S_ls.reshape(n_ch, -1), (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST).reshape(NB, 6 * R, 6 * R)
+            Hcc_b = jnp.einsum("bc,cij->bij", Obid, h_s)
+            bc_b = jnp.einsum("bc,cij->bij", Obid, b_s)
+            rhs_b = jnp.einsum("bc,cij->bij", Obid, r_s)
+
+            # place per-base patches at STATIC offsets (windows may overlap;
+            # sequential .add handles that)
+            S_k = jnp.zeros((6 * KK, 6 * KK))
+            rhs_p = jnp.zeros((6, KK))
+            Hcc_f = jnp.zeros((36, KK))
+            bc_f = jnp.zeros((6, KK))
+            for b in range(NB):
+                base = b * snap
+                # (a, rel)-major -> (rel, a)-major for the (k, a) S layout
+                patch = S_b[b].reshape(6, R, 6, R).transpose(
+                    1, 0, 3, 2).reshape(6 * R, 6 * R)
+                S_k = S_k.at[6 * base:6 * base + 6 * R,
+                             6 * base:6 * base + 6 * R].add(patch)
+                rhs_p = rhs_p.at[:, base:base + R].add(rhs_b[b])
+                Hcc_f = Hcc_f.at[:, base:base + R].add(Hcc_b[b])
+                bc_f = bc_f.at[:, base:base + R].add(bc_b[b])
 
             # exact overflow pass: full-width assembly over the <= OC
             # out-of-band points
@@ -548,83 +632,87 @@ def _build_and_solve_fast(prob, pre, q, t, pw, cam, lam, delta2_m, delta2_s,
 def ba_solve_fast(prob: BAProblem, cam: Intrinsics, n_iters: int = 10,
                   use_huber: bool = True, chi2_mono: float = 5.991,
                   chi2_stereo: float = 7.815, chunk: int = 4096,
-                  pcg_iters: int = 32, band="auto") -> BAResult:
+                  pcg_iters: int = 32, band="auto",
+                  cross_bf16=None) -> BAResult:
     """TPU-tuned ba_solve: identical semantics, E-major kernels + PCG.
 
     band: None for the full-width one-hot assembly, an int R for banded
     assembly with pose-window R, or "auto" to pick from the static problem
     shape (banded only pays off once the pose count makes the KK-wide
-    cross-term matmul dominant).
+    cross-term matmul dominant). Band classification (point sort by first
+    observing pose, per-chunk window bases, overflow set) runs ON DEVICE
+    inside the jitted program (_classify_band) — no host transfers, and
+    the path works under an outer jit/shard_map (local BA, distributed BA).
 
-    Host wrapper: band classification (point sort by first observing pose,
-    per-chunk window bases, overflow set) runs in numpy HERE so the jitted
-    program contains exactly one assembly variant with a host-sized exact
-    overflow pass — no data-dependent fallback branch to compile.
+    cross_bf16: run the dominant Schur cross-product matmuls in bf16 with
+    f32 accumulation. Default OFF: at the XLA level the HBM cast traffic
+    costs more than the MXU savings (measured, PROFILE_FINDINGS.md) — the
+    option exists for the in-VMEM Pallas assembly where bf16 is free.
+
+    The overflow capacity is static (max(256, P // 16)); in the rare case
+    more points than that are out-of-band, the non-traced path detects it
+    via the returned band_ov count and re-solves full-width (exact).
+    Traced callers degrade gracefully instead: excess points drop out of
+    the ASSEMBLY only, while the cost/accept test still sees every
+    observation, so steps lose efficiency but never diverge.
     """
-    import numpy as np
     K = prob.q.shape[0]
     P, M = prob.obs_kf.shape
+    if cross_bf16 is None:
+        cross_bf16 = False
     if band == "auto":
-        band = 64 if (K >= 192 and P >= 8192) else None
-    if isinstance(jnp.asarray(prob.obs_kf), jax.core.Tracer):
-        # called under an outer jit (e.g. steps.local_ba_step): the host
-        # classification can't read traced values — use the full-width
-        # assembly, which needs no host-side preprocessing
-        band = None
+        band = (128, max(256, P // 64), 64) if (K >= 192 and P >= 8192) \
+            else None
+    elif isinstance(band, int):
+        band = (band, max(256, P // 16), 1)
+    elif isinstance(band, tuple) and len(band) == 2:
+        band = (band[0], band[1], 1)
 
-    if band is None:
-        return _ba_fast_jit(prob, None, None, cam, n_iters, use_huber,
-                            chi2_mono, chi2_stereo, chunk, pcg_iters, None)
-
-    R = int(band) if not isinstance(band, tuple) else band[0]
-    # Sort points by their minimum observing pose so each chunk's poses
-    # fall inside a narrow window. Point order is arbitrary for BA
-    # (observations are grouped per point); results are un-permuted on
-    # return.
-    obs_kf = np.asarray(prob.obs_kf)
-    obs_mask = np.asarray(prob.obs_mask) & (obs_kf >= 0)
-    kf_min = np.where(obs_mask, obs_kf, K + 1).min(axis=1)
-    perm = np.argsort(kf_min, kind="stable").astype(np.int32)
-
-    n_chunks = max(P // chunk, 1)
-    while P % n_chunks:
-        n_chunks -= 1
-    cp = P // n_chunks
-    kf_min_s = np.clip(kf_min[perm], 0, K)
-    kf_max_s = np.where(obs_mask, obs_kf, -1).max(axis=1)[perm]
-    has_act = obs_mask.any(axis=1)[perm]
-    base_c = np.clip(kf_min_s.reshape(n_chunks, cp).min(axis=1),
-                     0, max(K - R, 0)).astype(np.int32)
-    in_band = (kf_max_s < np.repeat(base_c, cp) + R) | ~has_act
-    ov = np.nonzero(~in_band)[0]
-    # overflow capacity: power-of-two bucket of the true count (>= 64), so
-    # recompiles only happen when the overflow population jumps a bucket
-    OC = 64
-    while OC < len(ov):
-        OC *= 2
-    ov_idx = np.full(OC, P, np.int32)
-    ov_idx[:len(ov)] = ov
-    return _ba_fast_jit(
-        prob, jnp.asarray(perm),
-        (jnp.asarray(base_c), jnp.asarray(in_band.reshape(n_chunks, cp)),
-         jnp.asarray(ov_idx)),
-        cam, n_iters, use_huber, chi2_mono, chi2_stereo, chunk, pcg_iters,
-        (R, OC))
+    traced = isinstance(jnp.asarray(prob.obs_kf), jax.core.Tracer)
+    res = _ba_fast_jit(prob, cam, n_iters, use_huber, chi2_mono,
+                       chi2_stereo, chunk, pcg_iters, band,
+                       bool(cross_bf16))
+    if band is not None and not traced and int(res.band_ov) > band[1]:
+        # overflow capacity exceeded: re-solve exactly with the capacity
+        # grown to the next power-of-two bucket (recompiles once per
+        # bucket; full-width only when banding is pointless)
+        nov = int(res.band_ov)
+        OC2 = 256
+        while OC2 < nov:
+            OC2 *= 2
+        if OC2 >= max(P // 4, 256):
+            res = _ba_fast_jit(prob, cam, n_iters, use_huber, chi2_mono,
+                               chi2_stereo, chunk, pcg_iters, None, False)
+        else:
+            res = _ba_fast_jit(prob, cam, n_iters, use_huber, chi2_mono,
+                               chi2_stereo, chunk, pcg_iters,
+                               (band[0], OC2, band[2]), bool(cross_bf16))
+    return res
 
 
 @functools.partial(jax.jit,
                    static_argnames=("cam", "n_iters", "use_huber", "chunk",
-                                    "pcg_iters", "band"))
-def _ba_fast_jit(prob: BAProblem, perm, band_data, cam: Intrinsics,
+                                    "pcg_iters", "band", "cross_bf16"))
+def _ba_fast_jit(prob: BAProblem, cam: Intrinsics,
                  n_iters: int, use_huber: bool, chi2_mono: float,
                  chi2_stereo: float, chunk: int, pcg_iters: int,
-                 band) -> BAResult:
-    if perm is not None:
+                 band, cross_bf16: bool = False) -> BAResult:
+    perm = None
+    band_data = None
+    ov_count = jnp.asarray(0, jnp.int32)
+    band2 = None
+    if band is not None:
+        R, OC, snap = band
+        perm, base_c, inb, ov_idx, ov_count = _classify_band(
+            prob, chunk, R, OC, snap)
         prob = prob._replace(
             pw=prob.pw[perm], point_valid=prob.point_valid[perm],
             obs_kf=prob.obs_kf[perm], obs_uvr=prob.obs_uvr[perm],
             obs_inv_sigma2=prob.obs_inv_sigma2[perm],
             obs_stereo=prob.obs_stereo[perm], obs_mask=prob.obs_mask[perm])
+        Of_all = _band_onehot(prob, base_c, inb, R)
+        band_data = (base_c, inb, ov_idx, Of_all)
+        band2 = (R, OC, snap)
 
     pre = _prepare_e(prob)
     kf_e, active, obs_uvr_t, inv_sigma2_e, stereo_e = pre
@@ -643,8 +731,8 @@ def _ba_fast_jit(prob: BAProblem, perm, band_data, cam: Intrinsics,
         q, t, pw, qb, tb, pwb, cost_prev, lam, dc_prev = carry
         dc, dp, cost_here = _build_and_solve_fast(
             prob, pre, q, t, pw, cam, lam, chi2_mono, chi2_stereo,
-            use_huber, chunk, pcg_iters, x0=dc_prev, band=band,
-            band_data=band_data)
+            use_huber, chunk, pcg_iters, x0=dc_prev, band=band2,
+            band_data=band_data, cross_bf16=cross_bf16)
         improved = cost_here <= cost_prev
         lam = jnp.clip(jnp.where(improved, lam * 0.5, lam * 5.0), 1e-8, 1e4)
 
@@ -684,4 +772,5 @@ def _ba_fast_jit(prob: BAProblem, perm, band_data, cam: Intrinsics,
         pw = pw[inv]
         chi2 = chi2[inv]
     return BAResult(q=q, t=t, pw=pw, cost=cost,
-                    obs_chi2=chi2, n_iters=jnp.asarray(n_iters))
+                    obs_chi2=chi2, n_iters=jnp.asarray(n_iters),
+                    band_ov=ov_count)

@@ -62,7 +62,12 @@ class LoopCloser:
         self.db = kfdb_mod.empty_database(cfg.caps.max_keyframes, vocab)
         self.consistency = LoopCandidateState(groups=[])
         self.last_loop_kf = -1e9
-        self.loop_edges: list = []   # persisted (i, j) loop pairs
+        # persisted loop pairs, stored by keyframe UID not slot: slots are
+        # recycled after culling, so a slot-keyed edge could silently bind
+        # an unrelated new keyframe into every later pose-graph solve
+        # (reference pins loop KFs via mspLoopEdges / SetNotErase,
+        # src/KeyFrame.cc, src/LoopClosing.cc:553-556)
+        self.loop_edges: list = []   # [(uid_i, uid_j)]
 
     # -- detection ---------------------------------------------------------
 
@@ -81,6 +86,11 @@ class LoopCloser:
         uid = int(shared.kf_uid[kf_slot])
         if uid - self.last_loop_kf < self.cfg.loop.refractory_kfs \
                 or shared.n_created < self.cfg.loop.refractory_kfs:
+            return None
+        # the reference also gates on the LIVE map size (KeyFramesInMap()
+        # < 10, src/LoopClosing.cc:137): after a reset or heavy culling,
+        # n_created alone would let detection run on a near-empty map
+        if len(shared.uid_slot) < self.cfg.loop.refractory_kfs:
             return None
 
         cand = self._detect(shared, kf_slot, words, valid, vec)
@@ -358,9 +368,12 @@ class LoopCloser:
         shared.state = mapping.rebuild_observations(shared.state)
         shared.state = steps.recompute_covisibility(shared.state)
 
-        # essential graph
-        self.loop_edges.append((kf_q, kf_m))
-        edges = build_essential_edges(shared.state, self.loop_edges, cfg)
+        # essential graph (loop edges resolved uid -> current slot;
+        # unresolvable endpoints — culled keyframes — drop out)
+        self.loop_edges.append((int(shared.kf_uid[kf_q]),
+                                int(shared.kf_uid[kf_m])))
+        slot_edges = self.resolve_loop_edges(shared)
+        edges = build_essential_edges(shared.state, slot_edges, cfg)
         st = shared.state
         s0 = jnp.ones(st.kf_q.shape[0])
         res = pg.optimize_pose_graph(
@@ -373,6 +386,17 @@ class LoopCloser:
         if run_gba:
             shared.state = global_bundle_adjustment(shared.state, cfg)
         return shared.state
+
+    def resolve_loop_edges(self, shared):
+        """Resolve stored (uid, uid) loop edges to current slots, dropping
+        edges with culled endpoints."""
+        out = []
+        for ua, ub in self.loop_edges:
+            a = shared.uid_slot.get(ua)
+            b = shared.uid_slot.get(ub)
+            if a is not None and b is not None:
+                out.append((a, b))
+        return out
 
 
 # ---------------------------------------------------------------------------
@@ -462,6 +486,8 @@ def build_essential_edges(st: ms.MapState, loop_edges, cfg: SlamConfig
     cv = (np.triu(covis, 1) >= th) & valid[:, None] & valid[None, :]
     cv_i, cv_j = np.nonzero(cv)
     lp = np.asarray(loop_edges, np.int32).reshape(-1, 2)
+    if len(lp):   # drop loop rows whose endpoint slots are not live
+        lp = lp[valid[lp[:, 0]] & valid[lp[:, 1]]]
     ei = np.concatenate([sp_i, cv_i, lp[:, 0]]).astype(np.int32)
     ej = np.concatenate([sp_j, cv_j, lp[:, 1]]).astype(np.int32)
 

@@ -239,8 +239,12 @@ class System:
         traj_mod.write_tum(path, rows)
 
     def save_map(self, path):
+        # n_created persists so restored sessions never reissue uids of
+        # already-culled keyframes (their kf_seq entries are wiped at cull,
+        # so max(kf_seq)+1 alone under-counts)
         ckpt.save_map(path, self.shared.state, self.shared.n_kf,
-                      self.shared.n_mp)
+                      self.shared.n_mp,
+                      extra={"n_created": self.shared.n_created})
 
     def load_map(self, path):
         state, meta = ckpt.load_map(path)
@@ -255,9 +259,14 @@ class System:
         sh.kf_uid[: len(seq)] = seq
         sh.uid_slot = {int(seq[k]): int(k)
                        for k in np.nonzero(valid & (seq >= 0))[0]}
-        sh.n_created = int(seq.max()) + 1 if (seq >= 0).any() else 0
+        floor = int(seq.max()) + 1 if (seq >= 0).any() else 0
+        sh.n_created = max(floor, int(meta.get("n_created", 0)))
         sh.free_kf = [int(k) for k in range(sh.n_kf) if not valid[k]]
         sh.pending_release = []
+        # stale cull chains / trajectories refer to the pre-restore session;
+        # clearing them prevents a reissued-looking uid from re-chaining an
+        # exported frame onto an unrelated keyframe
+        sh.cull_info = {}
         # refresh the relocalization database from the restored keyframes
         for k in np.nonzero(np.asarray(state.kf_valid))[0]:
             self.loop_closer.db, _, _ = kfdb_mod.add_keyframe(

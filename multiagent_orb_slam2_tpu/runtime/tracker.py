@@ -250,6 +250,7 @@ class Tracker:
 
     def _track(self, feats, frame_id):
         self.frame_id = self.frame_id + 1 if frame_id is None else frame_id
+        self._last_decision = None
         if self.state == TrackerState.NOT_INITIALIZED:
             ok = self._initialize(feats)
             self._record(lost=not ok)
@@ -272,25 +273,17 @@ class Tracker:
         if self.only_tracking:
             return self._track_localization_only(feats, q_pred, t_pred)
 
-        tr = steps.track_motion_model_step(
+        # one-dispatch cascade: motion model -> wide retry -> ref-KF ->
+        # local map, with the host's small-scalar decisions packed into a
+        # single [5] vector (one device fetch per frame instead of 3-5
+        # blocking int() reads — each costs a full dispatch round trip)
+        tr, new_state, decision = steps.track_frame_step(
             sh.state, feats, self.last_feats, self.last_frame_mp,
-            q_pred, t_pred, self.cfg)
-        if int(tr.n_inliers) < self.cfg.tracking.min_matches_motion_model:
-            tr = steps.track_motion_model_step(
-                sh.state, feats, self.last_feats, self.last_frame_mp,
-                q_pred, t_pred, self.cfg, radius_mult=2.0)
-        if int(tr.n_inliers) < self.cfg.tracking.min_matches_ref_kf:
-            tr = steps.track_reference_kf_step(
-                sh.state, feats, self.ref_kf, q_pred, t_pred, self.cfg)
-
-        ok = int(tr.n_inliers) >= 10
-        if ok:
-            tr2, new_state = steps.track_local_map_step(
-                sh.state, feats, tr.q, tr.t, tr.frame_mp, self.ref_kf,
-                self.cfg)
-            sh.state = new_state
-            ok = int(tr2.n_inliers) >= self.cfg.tracking.min_inliers_track_local_map
-            tr = tr2 if ok else tr
+            self.ref_kf, q_pred, t_pred, sh.n_kf > 2, self.cfg)
+        decision = np.asarray(decision)
+        ok = bool(decision[0])
+        sh.state = new_state
+        self._last_decision = decision
 
         if not ok:
             # dead-reckon on the motion model (reference would relocalize;
@@ -494,22 +487,31 @@ class Tracker:
 
     def _need_new_keyframe(self, feats, tr) -> bool:
         """Reference NeedNewKeyFrame (src/Tracking.cc:990-1074), without the
-        mapping-idle conditions (phases are synchronous here)."""
+        mapping-idle conditions (phases are synchronous here). All device
+        counters come pre-packed in the track_frame_step decision vector
+        ([ok, n_inliers, tracked_close, untracked_close, ref_kf_matches]) —
+        no extra device reads here."""
         tcfg = self.cfg.tracking
         frames_since = self.frame_id - self.last_kf_frame
-        n_in = int(tr.n_inliers)
-
-        # reference counts tracked/untracked close stereo points (:1016-1029)
-        close_th = tcfg.th_depth * self.cfg.camera.baseline
-        depth = np.asarray(feats.depth)
-        valid = np.asarray(feats.valid)
-        tracked = np.asarray(tr.frame_mp) >= 0
-        close = valid & (depth > 0) & (depth < close_th)
-        tracked_close = int((close & tracked).sum())
-        untracked_close = int((close & ~tracked).sum())
+        dec = getattr(self, "_last_decision", None)
+        if dec is not None:
+            n_in = int(dec[1])
+            tracked_close = int(dec[2])
+            untracked_close = int(dec[3])
+            ref_matches = int(dec[4])
+        else:
+            # relocalization re-entry path: counters from the frame arrays
+            n_in = int(tr.n_inliers)
+            close_th = tcfg.th_depth * self.cfg.camera.baseline
+            depth = np.asarray(feats.depth)
+            valid = np.asarray(feats.valid)
+            tracked = np.asarray(tr.frame_mp) >= 0
+            close = valid & (depth > 0) & (depth < close_th)
+            tracked_close = int((close & tracked).sum())
+            untracked_close = int((close & ~tracked).sum())
+            ref_matches = self._ref_kf_matches()
         need_close = tracked_close < 100 and untracked_close > 70
 
-        ref_matches = self._ref_kf_matches()
         c1a = frames_since >= tcfg.max_frames_between_kf
         c1c = self.cfg.sensor != Sensor.MONOCULAR and \
             (n_in < ref_matches * 0.25 or need_close)
