@@ -82,6 +82,8 @@ class TrackingConfig:
     min_matches_ref_kf: int = 15            # src/Tracking.cc:779
     local_map_max_kf: int = 80              # src/Tracking.cc:1303
     reloc_min_inliers: int = 50             # src/Tracking.cc:1359-1520
+    reset_lost_max_kfs: int = 5             # auto-reset when lost early
+    #                                         (src/Tracking.cc:483-491)
 
 
 @dataclasses.dataclass(frozen=True)

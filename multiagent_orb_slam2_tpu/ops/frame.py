@@ -60,7 +60,9 @@ def sad_subpixel_refine(left_img, right_img, xy_l, x_r, valid,
     w = win
     patch_l = orb.extract_patches(left_img, jnp.round(xy_l).astype(jnp.int32), w)
     # right patches at all search offsets: [N, S, P, P]
-    offs = jnp.arange(-search, search + 1)
+    # (python range, not jnp.arange: the offsets are static and this
+    # function must be traceable under an outer jit)
+    offs = range(-search, search + 1)
 
     def patches_at(dx):
         xy_r = jnp.stack([jnp.round(x_r).astype(jnp.int32) + dx,

@@ -629,11 +629,190 @@ def _build_and_solve_fast(prob, pre, q, t, pw, cam, lam, delta2_m, delta2_s,
     return dc, dp, cost0
 
 
+def _prepare_m(prob: BAProblem):
+    """M-major observation arrays [*, M, P] for the Pallas prep kernel
+    (ba_pallas): points ride the lane dimension, so per-point reductions
+    are sublane reductions. Built once per solve."""
+    K = prob.q.shape[0]
+    active = prob.obs_mask & (prob.obs_kf >= 0) & prob.point_valid[:, None]
+    kf_m = jnp.where(active, jnp.clip(prob.obs_kf, 0, K - 1), K).T  # [M, P]
+    uvr_m = prob.obs_uvr.transpose(2, 1, 0)                         # [3,M,P]
+    isig_m = prob.obs_inv_sigma2.T
+    stereo_m = prob.obs_stereo.T.astype(jnp.float32)
+    active_m = active.T.astype(jnp.float32)
+    return kf_m, uvr_m, isig_m, stereo_m, active_m
+
+
+def _band_onehot_m(kf_m, base_c, inb_c, R: int, K: int):
+    """m-major variant of _band_onehot: [n_chunks, M, cp, R]."""
+    M, P = kf_m.shape
+    n_chunks = inb_c.shape[0]
+    cp = P // n_chunks
+    kf_c = kf_m.reshape(M, n_chunks, cp).transpose(1, 0, 2)  # [nc, M, cp]
+    okp = inb_c[:, None, :] & (kf_c < K)
+    rel = jnp.clip(kf_c - base_c[:, None, None], 0, R - 1)
+    return jax.nn.one_hot(rel, R, dtype=jnp.float32) \
+        * okp[..., None].astype(jnp.float32)
+
+
+def _pcg_solver():
+    import os
+    from . import ba_kernels as bk_
+    if jax.default_backend() != "cpu" \
+            and os.environ.get("MAOS_NO_PALLAS_PCG") != "1":
+        return bk_.pcg_solve_pallas
+    return bk_.pcg_solve
+
+
+def _solve_consts_mk(K: int, pose_valid, pose_fixed):
+    """Iteration-invariant [6K, 6K] masks for the fused reduced-system
+    assembly in _build_and_solve_mk (built once per solve; the per-iteration
+    version cost ~3 ms/iter of select/copy fusions at bench scale)."""
+    D = 6 * K
+    free = pose_valid & ~pose_fixed
+    free6 = jnp.repeat(free, 6)
+    maskf = (free6[:, None] & free6[None, :]).astype(jnp.float32)
+    eyepat = jnp.kron(jnp.eye(K, dtype=jnp.float32),
+                      jnp.ones((6, 6), jnp.float32))        # block-diag 1s
+    eyeD = jnp.eye(D, dtype=jnp.float32)
+    fixmat = jnp.diag(jnp.where(free6, 0.0, 1.0))
+    return free, free6, maskf, eyepat, eyeD, fixmat
+
+
+def _build_and_solve_mk(prob, mpre, q, t, pw, cam, lam, delta2_m, delta2_s,
+                        use_huber, pcg_iters, band, band_data,
+                        solve_consts, x0=None):
+    """Banded Schur build via the fused Pallas prep kernel (m-major).
+
+    Semantically identical to _build_and_solve_fast's banded path; the
+    ~150-op XLA elementwise prep pile (measured ~12 ms/iter of pure op
+    overhead at bench scale) collapses into one kernel, and the assembly
+    consumes the kernel's layout directly through dot_general dimension
+    numbers — no moveaxis/transpose copies. TPU-only (ba_pallas)."""
+    from . import ba_pallas as bp_mod
+    K = q.shape[0]
+    P, M = prob.obs_kf.shape
+    KK = K + 1
+    kf_m, uvr_m, isig_m, stereo_m, active_m = mpre
+    R, OC, snap = band
+    base_c, inb_c, ov_idx, Of_all = band_data       # Of_all [nc, M, cp, R]
+    n_chunks = Of_all.shape[0]
+    cp = P // n_chunks
+    NB = max(K - R, 0) // snap + 1
+    bid_c = base_c // snap
+
+    pose_t = jnp.concatenate([q.T, t.T], axis=0)                  # [7, K]
+    kf_g = jnp.minimum(kf_m, K - 1)
+    g = jnp.take(pose_t, kf_g.reshape(-1), axis=1).reshape(7, M, P)
+    Wb, Y, Ht, bt, Ybp, hinv6, bp, cost0, _ = bp_mod.prep_terms(
+        lam, g, uvr_m, isig_m, stereo_m, active_m, pw.T, cam,
+        delta2_m, delta2_s, use_huber)
+
+    # --- banded assembly, unrolled over chunks (static slices) -----------
+    S_ls, h_ls, b_ls, r_ls = [], [], [], []
+    dn_uv = (((1,), (0,)), ((2,), (1,)))     # contract M, batch cp
+    dn_dg = (((1, 2), (0, 1)), ((), ()))     # contract (M, cp)
+    for c in range(n_chunks):
+        sl = slice(c * cp, (c + 1) * cp)
+        Of = Of_all[c]                                   # [M, cp, R]
+        U = jax.lax.dot_general(Y[:, :, sl], Of, dn_uv)  # [cp, 18, R]
+        V = jax.lax.dot_general(Wb[:, :, sl], Of, dn_uv)
+        U2 = U.reshape(cp * 3, 6 * R)   # rows (p,c), cols (a,rel)
+        V2 = V.reshape(cp * 3, 6 * R)
+        S_ls.append(jax.lax.dot_general(
+            U2, V2, (((0,), (0,)), ((), ()))))           # [(a,rel),(a,rel)]
+        h_ls.append(jax.lax.dot_general(Ht[:, :, sl], Of, dn_dg))  # [36, R]
+        b_ls.append(jax.lax.dot_general(bt[:, :, sl], Of, dn_dg))
+        r_ls.append(jax.lax.dot_general(Ybp[:, :, sl], Of, dn_dg))
+
+    Obid = jax.nn.one_hot(bid_c, NB, dtype=jnp.float32).T        # [NB, nc]
+    S_b = jax.lax.dot_general(
+        Obid, jnp.stack(S_ls).reshape(n_chunks, -1),
+        (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST).reshape(NB, 6 * R, 6 * R)
+    Hcc_b = jnp.einsum("bc,cij->bij", Obid, jnp.stack(h_ls))
+    bc_b = jnp.einsum("bc,cij->bij", Obid, jnp.stack(b_ls))
+    rhs_b = jnp.einsum("bc,cij->bij", Obid, jnp.stack(r_ls))
+
+    S_flat = jnp.zeros((6 * KK, 6 * KK))
+    rhs_p = jnp.zeros((6, KK))
+    Hcc_f = jnp.zeros((36, KK))
+    bc_f = jnp.zeros((6, KK))
+    for b in range(NB):
+        base = b * snap
+        patch = S_b[b].reshape(6, R, 6, R).transpose(
+            1, 0, 3, 2).reshape(6 * R, 6 * R)            # (rel, a)-major
+        S_flat = S_flat.at[6 * base:6 * base + 6 * R,
+                           6 * base:6 * base + 6 * R].add(patch)
+        rhs_p = rhs_p.at[:, base:base + R].add(rhs_b[b])
+        Hcc_f = Hcc_f.at[:, base:base + R].add(Hcc_b[b])
+        bc_f = bc_f.at[:, base:base + R].add(bc_b[b])
+
+    # --- exact overflow pass (full width over the <= OC o.o.b. points) ---
+    ovc = jnp.clip(ov_idx, 0, P - 1)
+    ov_ok = ov_idx < P
+    kf_ov = jnp.where(ov_ok[None, :], kf_m[:, ovc], K)   # [M, OC]
+    Of_ov = jax.nn.one_hot(kf_ov, KK, dtype=jnp.float32)  # [M, OC, KK]
+    U_ov = jax.lax.dot_general(Y[:, :, ovc], Of_ov, dn_uv)   # [OC, 18, KK]
+    V_ov = jax.lax.dot_general(Wb[:, :, ovc], Of_ov, dn_uv)
+    S_ov = jax.lax.dot_general(
+        U_ov.reshape(OC * 3, 6 * KK), V_ov.reshape(OC * 3, 6 * KK),
+        (((0,), (0,)), ((), ())))                        # (a,k)-major
+    S_flat = S_flat + S_ov.reshape(6, KK, 6, KK).transpose(
+        1, 0, 3, 2).reshape(6 * KK, 6 * KK)
+    Hcc_f = Hcc_f + jax.lax.dot_general(Ht[:, :, ovc], Of_ov, dn_dg)
+    bc_f = bc_f + jax.lax.dot_general(bt[:, :, ovc], Of_ov, dn_dg)
+    rhs_p = rhs_p + jax.lax.dot_general(Ybp[:, :, ovc], Of_ov, dn_dg)
+
+    # --- dense reduced system assembled flat in (k, a) space -------------
+    # one fused elementwise expression over [D, D]: block-diagonal Hcc
+    # placement (eyepat * tiled rows), damping on the diagonal, fixed-pose
+    # masking, identity rows for fixed poses — the invariant masks come
+    # precomputed from _solve_consts_mk
+    D = 6 * K
+    free, free6, maskf, eyepat, eyeD, fixmat = solve_consts
+    Hcc_abk = Hcc_f.reshape(6, 6, KK)[:, :, :K]          # [a, b, K]
+    Hrow6 = Hcc_abk.transpose(2, 0, 1).reshape(D, 6)     # [(k, a), b]
+    dd = Hcc_abk[jnp.arange(6), jnp.arange(6)]           # [6, K] diag
+    damp = (lam * dd.T.reshape(-1) + 1e-8)               # [(k, a)]
+    S = (jnp.tile(Hrow6, (1, K)) * eyepat - S_flat[:D, :D]
+         + eyeD * damp[None, :]) * maskf + fixmat
+    bc = bc_f[:, :K].T
+    rhs = jnp.where(free[:, None], bc - rhs_p[:, :K].T, 0.0).reshape(-1)
+
+    # block-Jacobi preconditioner straight from the pose blocks (no big-S
+    # reads): damped Hcc for free poses, identity for fixed/invalid
+    blocks = Hcc_abk.transpose(2, 0, 1) \
+        + (lam * dd.T)[:, :, None] * jnp.eye(6) + 1e-8 * jnp.eye(6)
+    blocks = jnp.where(free[:, None, None], blocks, jnp.eye(6))
+    Dinv = jnp.linalg.inv(blocks)
+    solver = _pcg_solver()
+    dc = solver(S, rhs, Dinv, n_iters=pcg_iters,
+                x0=x0.reshape(-1) if x0 is not None else None).reshape(K, 6)
+    dc = jnp.where(free[:, None], dc, 0.0)
+
+    # --- back-substitution (m-major) -------------------------------------
+    dcT = dc.T                                            # [6, K]
+    dc_g = jnp.take(dcT, kf_g.reshape(-1), axis=1).reshape(6, M, P) \
+        * active_m[None]
+    corr = jnp.einsum("camp,amp->cp", Wb.reshape(3, 6, M, P), dc_g)
+    rhs_pt = bp - corr                                    # [3, P]
+    dp = jnp.stack([
+        hinv6[0] * rhs_pt[0] + hinv6[1] * rhs_pt[1] + hinv6[2] * rhs_pt[2],
+        hinv6[1] * rhs_pt[0] + hinv6[3] * rhs_pt[1] + hinv6[4] * rhs_pt[2],
+        hinv6[2] * rhs_pt[0] + hinv6[4] * rhs_pt[1] + hinv6[5] * rhs_pt[2]],
+        axis=-1)                                          # [P, 3]
+    has_obs = jnp.any(active_m > 0, axis=0)
+    dp = jnp.where((prob.point_valid & has_obs)[:, None], dp, 0.0)
+    return dc, dp, cost0
+
+
 def ba_solve_fast(prob: BAProblem, cam: Intrinsics, n_iters: int = 10,
                   use_huber: bool = True, chi2_mono: float = 5.991,
                   chi2_stereo: float = 7.815, chunk: int = 4096,
                   pcg_iters: int = 32, band="auto",
-                  cross_bf16=None) -> BAResult:
+                  cross_bf16=None, use_pallas=None,
+                  check_overflow: bool = True) -> BAResult:
     """TPU-tuned ba_solve: identical semantics, E-major kernels + PCG.
 
     band: None for the full-width one-hot assembly, an int R for banded
@@ -668,11 +847,21 @@ def ba_solve_fast(prob: BAProblem, cam: Intrinsics, n_iters: int = 10,
     elif isinstance(band, tuple) and len(band) == 2:
         band = (band[0], band[1], 1)
 
+    if use_pallas is None:
+        import os
+        use_pallas = jax.default_backend() != "cpu" \
+            and os.environ.get("MAOS_NO_PALLAS") != "1"
+    use_mk = bool(use_pallas) and band is not None
+
     traced = isinstance(jnp.asarray(prob.obs_kf), jax.core.Tracer)
     res = _ba_fast_jit(prob, cam, n_iters, use_huber, chi2_mono,
                        chi2_stereo, chunk, pcg_iters, band,
-                       bool(cross_bf16))
-    if band is not None and not traced and int(res.band_ov) > band[1]:
+                       bool(cross_bf16), use_mk)
+    # check_overflow=False skips the band_ov readback so latency-critical
+    # callers (bench) stay free of device->host transfers; they must
+    # verify res.band_ov themselves afterwards.
+    if band is not None and not traced and check_overflow \
+            and int(res.band_ov) > band[1]:
         # overflow capacity exceeded: re-solve exactly with the capacity
         # grown to the next power-of-two bucket (recompiles once per
         # bucket; full-width only when banding is pointless)
@@ -682,25 +871,31 @@ def ba_solve_fast(prob: BAProblem, cam: Intrinsics, n_iters: int = 10,
             OC2 *= 2
         if OC2 >= max(P // 4, 256):
             res = _ba_fast_jit(prob, cam, n_iters, use_huber, chi2_mono,
-                               chi2_stereo, chunk, pcg_iters, None, False)
+                               chi2_stereo, chunk, pcg_iters, None, False,
+                               False)
         else:
             res = _ba_fast_jit(prob, cam, n_iters, use_huber, chi2_mono,
                                chi2_stereo, chunk, pcg_iters,
-                               (band[0], OC2, band[2]), bool(cross_bf16))
+                               (band[0], OC2, band[2]), bool(cross_bf16),
+                               use_mk)
     return res
 
 
 @functools.partial(jax.jit,
                    static_argnames=("cam", "n_iters", "use_huber", "chunk",
-                                    "pcg_iters", "band", "cross_bf16"))
+                                    "pcg_iters", "band", "cross_bf16",
+                                    "use_mk", "chi2_mono", "chi2_stereo"))
 def _ba_fast_jit(prob: BAProblem, cam: Intrinsics,
                  n_iters: int, use_huber: bool, chi2_mono: float,
                  chi2_stereo: float, chunk: int, pcg_iters: int,
-                 band, cross_bf16: bool = False) -> BAResult:
+                 band, cross_bf16: bool = False,
+                 use_mk: bool = False) -> BAResult:
     perm = None
     band_data = None
     ov_count = jnp.asarray(0, jnp.int32)
     band2 = None
+    mpre = None
+    use_mk = use_mk and band is not None
     if band is not None:
         R, OC, snap = band
         perm, base_c, inb, ov_idx, ov_count = _classify_band(
@@ -710,16 +905,42 @@ def _ba_fast_jit(prob: BAProblem, cam: Intrinsics,
             obs_kf=prob.obs_kf[perm], obs_uvr=prob.obs_uvr[perm],
             obs_inv_sigma2=prob.obs_inv_sigma2[perm],
             obs_stereo=prob.obs_stereo[perm], obs_mask=prob.obs_mask[perm])
-        Of_all = _band_onehot(prob, base_c, inb, R)
-        band_data = (base_c, inb, ov_idx, Of_all)
+        if use_mk:
+            K = prob.q.shape[0]
+            mpre = _prepare_m(prob)
+            band_data = (base_c, inb, ov_idx,
+                         _band_onehot_m(mpre[0], base_c, inb, R, K))
+        else:
+            band_data = (base_c, inb, ov_idx,
+                         _band_onehot(prob, base_c, inb, R))
         band2 = (R, OC, snap)
 
-    pre = _prepare_e(prob)
-    kf_e, active, obs_uvr_t, inv_sigma2_e, stereo_e = pre
+    if use_mk:
+        # final cost/chi2 also via the fused kernel: no p-major obs arrays
+        # exist at all on this path
+        from . import ba_pallas as bp_mod
+        solve_consts = _solve_consts_mk(prob.q.shape[0], prob.pose_valid,
+                                        prob.pose_fixed)
+        kf_m = mpre[0]
+        kf_g = jnp.minimum(kf_m, prob.q.shape[0] - 1)
+        Mm, Pm = kf_m.shape
 
-    def cost_fn(q, t, pw):
-        return bk.cost_e(kf_e, obs_uvr_t, inv_sigma2_e, stereo_e, active,
-                         q, t, pw, cam, chi2_mono, chi2_stereo, use_huber)
+        def cost_fn(q, t, pw):
+            pose_t = jnp.concatenate([q.T, t.T], axis=0)
+            g = jnp.take(pose_t, kf_g.reshape(-1), axis=1).reshape(7, Mm, Pm)
+            out = bp_mod.prep_terms(0.0, g, mpre[1], mpre[2], mpre[3],
+                                    mpre[4], pw.T, cam, chi2_mono,
+                                    chi2_stereo, use_huber)
+            return out[7], out[8].T.reshape(-1)   # cost, chi2 (E p-major)
+    else:
+        pre = _prepare_e(prob)
+        kf_e, active, obs_uvr_t, inv_sigma2_e, stereo_e = pre
+        solve_consts = None
+
+        def cost_fn(q, t, pw):
+            return bk.cost_e(kf_e, obs_uvr_t, inv_sigma2_e, stereo_e,
+                             active, q, t, pw, cam, chi2_mono, chi2_stereo,
+                             use_huber)
 
     # Deferred-accept LM: one observation pass per iteration. The build at
     # the current parameters yields the robust cost there, which doubles as
@@ -729,10 +950,16 @@ def _ba_fast_jit(prob: BAProblem, cam: Intrinsics,
     # vs. the classic build+evaluate scheme).
     def body(_, carry):
         q, t, pw, qb, tb, pwb, cost_prev, lam, dc_prev = carry
-        dc, dp, cost_here = _build_and_solve_fast(
-            prob, pre, q, t, pw, cam, lam, chi2_mono, chi2_stereo,
-            use_huber, chunk, pcg_iters, x0=dc_prev, band=band2,
-            band_data=band_data, cross_bf16=cross_bf16)
+        if use_mk:
+            dc, dp, cost_here = _build_and_solve_mk(
+                prob, mpre, q, t, pw, cam, lam, chi2_mono, chi2_stereo,
+                use_huber, pcg_iters, band2, band_data, solve_consts,
+                x0=dc_prev)
+        else:
+            dc, dp, cost_here = _build_and_solve_fast(
+                prob, pre, q, t, pw, cam, lam, chi2_mono, chi2_stereo,
+                use_huber, chunk, pcg_iters, x0=dc_prev, band=band2,
+                band_data=band_data, cross_bf16=cross_bf16)
         improved = cost_here <= cost_prev
         lam = jnp.clip(jnp.where(improved, lam * 0.5, lam * 5.0), 1e-8, 1e4)
 

@@ -269,37 +269,43 @@ def pcg_solve_pallas(S_dense, rhs_flat, block_diag_inv, n_iters: int = 48,
                      x0=None):
     """Same algorithm as pcg_solve, fused into a single Pallas kernel.
 
-    The reduced camera matrix (6K)^2 f32 (9.4 MB at K=256) is DMA'd to VMEM
-    once; all n_iters CG iterations then run on-chip — the XLA-loop variant
-    pays ~0.5 ms of HBM re-reads and op overheads per iteration, which
-    dominates the whole BA step. Falls back to pcg_solve for matrices that
-    do not fit VMEM (K > ~512).
+    The reduced camera matrix (6K)^2 f32 (9.4 MB at K=256) and a dense
+    block-diagonal preconditioner matrix are DMA'd to VMEM once; all
+    n_iters CG iterations then run on-chip — the XLA-loop variant pays HBM
+    re-reads and op-dispatch overheads per iteration. The preconditioner
+    apply is a second [1,D]@[D,D] matmul rather than a [K,6]-blocked
+    reshape (lane->sublane shape casts are unsupported in Mosaic). Falls
+    back to pcg_solve when the two matrices exceed the VMEM budget
+    (K > ~512).
     """
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     D = S_dense.shape[0]
     K = block_diag_inv.shape[0]
-    if D * D * 4 > 12 * 1024 * 1024:
+    if 2 * D * D * 4 > 80 * 1024 * 1024:
         return pcg_solve(S_dense, rhs_flat, block_diag_inv, n_iters, x0=x0)
     if x0 is not None:  # fold the warm start into the rhs residual
         rhs_flat = rhs_flat - S_dense @ x0
 
-    def kernel(S_ref, rhs_ref, dinv_ref, x_ref):
-        S = S_ref[:]                       # [D, D]
-        dinv = dinv_ref[:]                 # [K, 6, 6]
+    # dense block-diagonal preconditioner P[(k,a),(k2,b)] = d(k,k2) Dinv[k,a,b]
+    eyeK = jnp.eye(K, dtype=S_dense.dtype)
+    Pmat = (block_diag_inv[:, :, None, :]
+            * eyeK[:, None, :, None]).reshape(D, D)
+
+    def kernel(S_ref, P_ref, rhs_ref, x_ref):
+        S = S_ref[:]                       # [D, D] (symmetric)
+        Pm = P_ref[:]                      # [D, D] (symmetric blocks)
 
         def precond(r):                    # r [1, D]
-            rb = r.reshape(K, 6)
-            z = jnp.sum(dinv * rb[:, None, :], axis=-1)
-            return z.reshape(1, D)
+            return jnp.dot(r, Pm, preferred_element_type=jnp.float32)
 
         def matvec(p):
             return jnp.dot(p, S, preferred_element_type=jnp.float32)
 
         r0 = rhs_ref[:]
         z0 = precond(r0)
-        x0 = jnp.zeros_like(r0)
+        xinit = jnp.zeros_like(r0)
 
         def body(_, carry):
             x, r, z, p, rz = carry
@@ -315,7 +321,7 @@ def pcg_solve_pallas(S_dense, rhs_flat, block_diag_inv, n_iters: int = 48,
             return x, r, z, p, rz_new
 
         x, _, _, _, _ = jax.lax.fori_loop(
-            0, n_iters, body, (x0, r0, z0, z0, jnp.sum(r0 * z0)))
+            0, n_iters, body, (xinit, r0, z0, z0, jnp.sum(r0 * z0)))
         x_ref[:] = x
 
     out = pl.pallas_call(
@@ -325,5 +331,7 @@ def pcg_solve_pallas(S_dense, rhs_flat, block_diag_inv, n_iters: int = 48,
                   pl.BlockSpec(memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-    )(S_dense, rhs_flat[None, :], block_diag_inv)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(S_dense, Pmat, rhs_flat[None, :])
     return out[0] + x0 if x0 is not None else out[0]

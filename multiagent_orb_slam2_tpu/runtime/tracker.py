@@ -260,6 +260,18 @@ class Tracker:
         sh = self.shared
 
         if self.state == TrackerState.LOST:
+            # auto-reset when lost with a barely-started map (reference
+            # src/Tracking.cc:483-491: KeyFramesInMap() <= 5 -> full
+            # Reset): a garbage 3-KF map would otherwise pin the agent to
+            # relocalization luck forever
+            st = sh.state
+            n_mine = int(np.asarray(
+                (st.kf_agent == self.agent) & st.kf_valid).sum())
+            if n_mine <= self.cfg.tracking.reset_lost_max_kfs:
+                self.reset()
+                ok = self._initialize(feats)
+                self._record(lost=not ok)
+                return (self.last_q, self.last_t) if ok else None
             # reference semantics: once lost, only relocalization recovers
             # (src/Tracking.cc:331); the System facade owns that step.
             # Dead-reckon so the trajectory stays continuous.
