@@ -19,6 +19,9 @@ import numpy as np
 
 
 def _imread_gray(path: str) -> np.ndarray:
+    if path.endswith(".npy"):
+        # synthetic sequences (analysis/make_synth_seq.py) store uint8 npy
+        return np.load(path).astype(np.float32)
     import cv2
     img = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
     if img is None:
@@ -167,11 +170,25 @@ def load_euroc_mono(root: str, **kw) -> Sequence:
     return seq
 
 
+def load_synth_stereo(root: str) -> Sequence:
+    """Synthetic stereo sequence written by analysis/make_synth_seq.py:
+    left_%05d.npy / right_%05d.npy + times.txt (+ gt_tum.txt ground
+    truth). Stands in for the unavailable KITTI/EuRoC blobs in the
+    at-scale accuracy protocol (SURVEY.md §4)."""
+    times = np.atleast_1d(np.loadtxt(os.path.join(root, "times.txt")))
+    items = [SequenceItem(timestamp=float(t),
+                          left=os.path.join(root, f"left_{i:05d}.npy"),
+                          right=os.path.join(root, f"right_{i:05d}.npy"))
+             for i, t in enumerate(times)]
+    return Sequence(items)
+
+
 LOADERS = {
     "mono_tum": load_tum_mono,
     "mono_kitti": load_kitti_mono,
     "mono_euroc": load_euroc_mono,
     "stereo_kitti": load_kitti_stereo,
     "stereo_euroc": load_euroc_stereo,
+    "stereo_synth": load_synth_stereo,
     "rgbd_tum": load_tum_rgbd,
 }

@@ -283,7 +283,9 @@ def pcg_solve_pallas(S_dense, rhs_flat, block_diag_inv, n_iters: int = 48,
 
     D = S_dense.shape[0]
     K = block_diag_inv.shape[0]
-    if 2 * D * D * 4 > 80 * 1024 * 1024:
+    # S + dense preconditioner must fit the VMEM allowance alongside any
+    # co-resident kernels in the same program (K <= ~360)
+    if 2 * D * D * 4 > 40 * 1024 * 1024:
         return pcg_solve(S_dense, rhs_flat, block_diag_inv, n_iters, x0=x0)
     if x0 is not None:  # fold the warm start into the rhs residual
         rhs_flat = rhs_flat - S_dense @ x0
@@ -332,6 +334,6 @@ def pcg_solve_pallas(S_dense, rhs_flat, block_diag_inv, n_iters: int = 48,
                   pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=48 * 1024 * 1024),
     )(S_dense, Pmat, rhs_flat[None, :])
     return out[0] + x0 if x0 is not None else out[0]

@@ -251,8 +251,11 @@ def prep_terms(lam, g, uvr_m, isig_m, stereo_m, active_m, pw,
             jax.ShapeDtypeStruct((M, P), jnp.float32),
             jax.ShapeDtypeStruct((M, P), jnp.float32),
         ],
+        # pb=1024 uses ~13 MB double-buffered; keep the declared allowance
+        # tight — scoped-vmem demands of co-resident kernels in one XLA
+        # program ADD UP against the 128 MB physical VMEM
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=40 * 1024 * 1024),
     )(jnp.asarray(lam, jnp.float32).reshape(1, 1), g, uvr_m, isig_m,
       stereo_m, active_m, pw)
     Wb, Y, Ht, bt, Ybp, hinv6, bp, cost_e, chi2_m = out

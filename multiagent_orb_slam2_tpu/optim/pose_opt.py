@@ -71,16 +71,34 @@ def _build_normal_eq(cam, q, t, o: PoseObs, active, delta2_m, delta2_s,
     return H, b, cost, chi2
 
 
-@functools.partial(jax.jit, static_argnames=("cam", "cfg"))
 def pose_optimize(q0, t0, obs: PoseObs, cam: Intrinsics,
-                  cfg: OptimizerConfig = OptimizerConfig()):
+                  cfg: OptimizerConfig = OptimizerConfig(),
+                  use_pallas=None):
     """Optimize a single Tcw against fixed points.
 
     Returns (q, t, inlier_mask, n_inliers). Matches the reference schedule:
     pose_opt_rounds rounds x pose_opt_iters LM iterations, relabeling
     observations by chi2 between rounds; final round runs without the Huber
     kernel on inliers only.
+
+    On TPU the whole schedule runs as one fused Pallas kernel
+    (pose_opt_pallas) — the XLA formulation's ~2800 small op executions
+    cost ~50 ms/call at F=2048 in pure dispatch overhead. Pass
+    use_pallas=False for vmapped callers (parallel.multichip) and CPU.
     """
+    if use_pallas is None:
+        import os
+        use_pallas = jax.default_backend() != "cpu" \
+            and os.environ.get("MAOS_NO_PALLAS") != "1"
+    if use_pallas:
+        from .pose_opt_pallas import pose_optimize_pallas
+        return pose_optimize_pallas(q0, t0, obs, cam, cfg)
+    return _pose_optimize_xla(q0, t0, obs, cam, cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("cam", "cfg"))
+def _pose_optimize_xla(q0, t0, obs: PoseObs, cam: Intrinsics,
+                       cfg: OptimizerConfig = OptimizerConfig()):
     delta2_m = cfg.chi2_mono
     delta2_s = cfg.chi2_stereo
     chi2_th = jnp.where(obs.is_stereo, cfg.chi2_stereo, cfg.chi2_mono)

@@ -52,7 +52,8 @@ def multichip_step(agent_q, agent_t, agent_obs: pose_opt.PoseObs,
         check_vma=False)
     def track_block(q0, t0, obs):
         def one(q0_i, t0_i, obs_i):
-            q, t, inl, n = pose_opt.pose_optimize(q0_i, t0_i, obs_i, cam, cfg)
+            q, t, inl, n = pose_opt.pose_optimize(q0_i, t0_i, obs_i, cam, cfg,
+                                                  use_pallas=False)
             return q, t, n
         return jax.vmap(one)(q0, t0, obs)
 

@@ -355,8 +355,19 @@ class LoopCloser:
         kf_q, kf_m = match.kf_query, match.kf_match
         fix_scale = cfg.sensor != Sensor.MONOCULAR
 
-        st = correct_neighborhood(st, kf_q, match.s, jnp.asarray(match.q),
-                                  jnp.asarray(match.t), cfg)
+        # corrected world->query Sim3: S_qw = S_qm * T_mw (match.s/q/t is
+        # the CAMERA-to-camera Sim3 from compute_sim3 — composing with the
+        # matched keyframe's world pose is required whenever that keyframe
+        # is not at the world origin; server/fusion.merge_maps does the
+        # same composition)
+        s_c, q_c, t_c = sim3.compose(
+            jnp.asarray(match.s), jnp.asarray(match.q),
+            jnp.asarray(match.t),
+            *sim3.from_se3(st.kf_q[kf_m], st.kf_t[kf_m]))
+        # pre-correction snapshot: essential-graph measurements for
+        # non-loop edges come from these (NonCorrectedSim3 semantics)
+        q_pre, t_pre = st.kf_q, st.kf_t
+        st = correct_neighborhood(st, kf_q, s_c, q_c, t_c, cfg)
         shared.state = st
 
         # fuse the matched map points into the corrected neighborhood
@@ -373,7 +384,8 @@ class LoopCloser:
         self.loop_edges.append((int(shared.kf_uid[kf_q]),
                                 int(shared.kf_uid[kf_m])))
         slot_edges = self.resolve_loop_edges(shared)
-        edges = build_essential_edges(shared.state, slot_edges, cfg)
+        edges = build_essential_edges(shared.state, slot_edges, cfg,
+                                      q_noncorr=q_pre, t_noncorr=t_pre)
         st = shared.state
         s0 = jnp.ones(st.kf_q.shape[0])
         res = pg.optimize_pose_graph(
@@ -460,11 +472,19 @@ def correct_neighborhood(st: ms.MapState, kf_q: int, s, q, t,
         mp_pos=mp_pos)
 
 
-def build_essential_edges(st: ms.MapState, loop_edges, cfg: SlamConfig
+def build_essential_edges(st: ms.MapState, loop_edges, cfg: SlamConfig,
+                          q_noncorr=None, t_noncorr=None
                           ) -> pg.PoseGraphEdges:
     """Edge set of the essential graph (src/Optimizer.cc:850-930): spanning
     tree + stored loop edges + strong covisibility (>= strong_covis_min_feat).
-    Measurements from current estimates.
+
+    Measurement sources follow the reference's NonCorrectedSim3 semantics:
+    spanning-tree / covisibility edges are measured from the PRE-correction
+    poses (q_noncorr/t_noncorr when given) while loop edges are measured
+    from the CURRENT (corrected) poses — if every edge were measured from
+    the current mixed state, the graph would be self-consistent and the
+    optimization a no-op (the loop correction would never spread beyond the
+    corrected neighborhood).
 
     Fully vectorized mask extraction (no per-KF host loops), and capacity is
     EXACT for the edge set: sized from the true edge count (rounded up to a
@@ -490,6 +510,8 @@ def build_essential_edges(st: ms.MapState, loop_edges, cfg: SlamConfig
         lp = lp[valid[lp[:, 0]] & valid[lp[:, 1]]]
     ei = np.concatenate([sp_i, cv_i, lp[:, 0]]).astype(np.int32)
     ej = np.concatenate([sp_j, cv_j, lp[:, 1]]).astype(np.int32)
+    is_lp = np.zeros(len(ei), bool)
+    is_lp[len(ei) - len(lp):] = True
 
     n = len(ei)
     E = max(512, -(-n // 512) * 512)
@@ -497,15 +519,29 @@ def build_essential_edges(st: ms.MapState, loop_edges, cfg: SlamConfig
     i_arr = np.zeros(E, np.int32)
     j_arr = np.zeros(E, np.int32)
     v_arr = np.zeros(E, bool)
+    lp_arr = np.zeros(E, bool)
     i_arr[:n] = ei
     j_arr[:n] = ej
     v_arr[:n] = True
+    lp_arr[:n] = is_lp
 
     i_j = jnp.asarray(i_arr)
     j_j = jnp.asarray(j_arr)
+    lp_j = jnp.asarray(lp_arr)[:, None]
     s_i = jnp.ones(E)
+    if q_noncorr is None:
+        q_src, t_src = st.kf_q, st.kf_t
+    else:
+        q_src = jnp.where(lp_j, st.kf_q[i_j], q_noncorr[i_j])
+        t_src = jnp.where(lp_j, st.kf_t[i_j], t_noncorr[i_j])
+        q_dst = jnp.where(lp_j, st.kf_q[j_j], q_noncorr[j_j])
+        t_dst = jnp.where(lp_j, st.kf_t[j_j], t_noncorr[j_j])
+        sm, qm, tm = pg.make_edge_measurements(
+            s_i, q_src, t_src, s_i, q_dst, t_dst)
+        return pg.PoseGraphEdges(i=i_j, j=j_j, s=sm, q=qm, t=tm,
+                                 valid=jnp.asarray(v_arr))
     sm, qm, tm = pg.make_edge_measurements(
-        s_i, st.kf_q[i_j], st.kf_t[i_j], s_i, st.kf_q[j_j], st.kf_t[j_j])
+        s_i, q_src[i_j], t_src[i_j], s_i, q_src[j_j], t_src[j_j])
     return pg.PoseGraphEdges(i=i_j, j=j_j, s=sm, q=qm, t=tm,
                              valid=jnp.asarray(v_arr))
 

@@ -1,4 +1,8 @@
 """Schur-complement bundle adjustment tests on synthetic problems."""
+import pytest
+
+pytestmark = pytest.mark.e2e
+
 import numpy as np
 import jax.numpy as jnp
 

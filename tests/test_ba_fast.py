@@ -1,4 +1,8 @@
 """Fast-path BA (E-major kernels + PCG) must match the reference formulation."""
+import pytest
+
+pytestmark = pytest.mark.e2e
+
 import numpy as np
 import jax.numpy as jnp
 

@@ -1,4 +1,8 @@
 """Distributed (point-sharded) BA on the virtual 8-device CPU mesh."""
+import pytest
+
+pytestmark = pytest.mark.e2e
+
 import numpy as np
 import jax
 import jax.numpy as jnp

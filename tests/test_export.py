@@ -8,6 +8,10 @@ the EXPORTED full-frame trajectory ATE must drop accordingly — including for
 frames whose reference keyframe is culled after the correction (the
 cull_info / uid chain).
 """
+import pytest
+
+pytestmark = pytest.mark.e2e
+
 import numpy as np
 import jax.numpy as jnp
 

@@ -7,6 +7,10 @@ design reclaims slots instead: culled keyframe slots return to a free list
 (after database erasure), and the point arrays are compacted when free
 capacity drops below one frame's worth (SharedMap.compact_points).
 """
+import pytest
+
+pytestmark = pytest.mark.e2e
+
 import numpy as np
 import jax.numpy as jnp
 import pytest

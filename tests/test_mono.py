@@ -1,5 +1,9 @@
 """Monocular end-to-end: two-view init + tracking + triangulation-based
 mapping on a synthetic corridor (scale-free ATE)."""
+import pytest
+
+pytestmark = pytest.mark.e2e
+
 import numpy as np
 import jax.numpy as jnp
 import pytest

@@ -1,5 +1,9 @@
 """Multi-agent server integration: two agents on a split sequence fuse into
 one map (the reference's generic_split_seq scenario, SURVEY.md §3.4)."""
+import pytest
+
+pytestmark = pytest.mark.e2e
+
 import numpy as np
 import jax.numpy as jnp
 import pytest

@@ -1,4 +1,8 @@
 """System facade: relocalization after kidnap, checkpoint/resume."""
+import pytest
+
+pytestmark = pytest.mark.e2e
+
 import numpy as np
 import jax.numpy as jnp
 import pytest

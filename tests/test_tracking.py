@@ -1,5 +1,9 @@
 """End-to-end stereo odometry on a synthetic corridor (the first ATE checkpoint
 of the build plan, SURVEY.md §7 stage 3)."""
+import pytest
+
+pytestmark = pytest.mark.e2e
+
 import numpy as np
 import jax.numpy as jnp
 import pytest
