@@ -223,6 +223,11 @@ class Tracker:
         self.trajectory: list[FrameRecord] = []
         self.new_kf_slots: list[int] = []    # queue for loop-closing stage
         self.culled_kf_slots: list[int] = []  # for database erasure upstream
+        # multi-agent reset hook (set by MultiAgentServer): a reset agent
+        # must leave the merged map and restart on a FRESH logical map so
+        # its new (identity-origin) keyframes re-fuse through the normal
+        # Sim3 pipeline instead of polluting the fused world frame
+        self.on_reset = None
         shared.trackers.append(self)         # for point-compaction remaps
 
     # -- public API (System::TrackStereo / TrackRGBD equivalents) ---------
@@ -600,18 +605,33 @@ class Tracker:
         return frame_mp, sh.state.kf_q[kf_slot], sh.state.kf_t[kf_slot]
 
     def _record(self, lost: bool):
-        ref_q = ref_t = None
+        """Append the per-frame trajectory record with ONE device fetch.
+
+        Separate np.asarray calls for q/t/ref_q/ref_t each cost a full
+        device round trip (~24 ms on a tunneled runtime) — batched into a
+        single [14] snapshot they cost one."""
         ref_uid = -1
+        has_q = self.last_q is not None
         if self.ref_kf >= 0:
             st = self.shared.state
-            ref_q = np.asarray(st.kf_q[self.ref_kf])
-            ref_t = np.asarray(st.kf_t[self.ref_kf])
             ref_uid = int(self.shared.kf_uid[self.ref_kf])
+            snap = np.asarray(jnp.concatenate([
+                jnp.asarray(self.last_q) if has_q else jnp.array(
+                    [1.0, 0, 0, 0]),
+                jnp.asarray(self.last_t) if has_q else jnp.zeros(3),
+                st.kf_q[self.ref_kf], st.kf_t[self.ref_kf]]))
+            q, t = snap[:4], snap[4:7]
+            ref_q, ref_t = snap[7:11], snap[11:14]
+        else:
+            if has_q:
+                snap = np.asarray(jnp.concatenate([
+                    jnp.asarray(self.last_q), jnp.asarray(self.last_t)]))
+                q, t = snap[:4], snap[4:7]
+            else:
+                q, t = np.array([1.0, 0, 0, 0]), np.zeros(3)
+            ref_q = ref_t = None
         self.trajectory.append(FrameRecord(
-            frame_id=self.frame_id,
-            q=np.asarray(self.last_q) if self.last_q is not None else np.array(
-                [1.0, 0, 0, 0]),
-            t=np.asarray(self.last_t) if self.last_t is not None else np.zeros(3),
+            frame_id=self.frame_id, q=q, t=t,
             lost=lost, ref_kf=self.ref_kf, ref_uid=ref_uid,
             ref_q=ref_q, ref_t=ref_t))
 
@@ -646,6 +666,8 @@ class Tracker:
         self.ref_kf = -1
         self.mono_init_ref = None
         self.new_kf_slots.clear()
+        if self.on_reset is not None:
+            self.on_reset(self)
 
     # -- trajectory export (System::SaveTrajectory*, src/System.cc:390-540) --
 

@@ -53,7 +53,21 @@ class MultiAgentServer:
         self.loop_closers[agent] = lc.LoopCloser(self.cfg, self.vocab)
         self.multimap.add(agent, map_id)
         self.consistency[agent] = []
+        tracker.on_reset = self._handle_reset
         return tracker
+
+    def _handle_reset(self, tracker: Tracker):
+        """A reset agent restarts on a FRESH logical map: its new keyframes
+        begin at an identity origin unrelated to the (possibly merged) old
+        map's world frame, so they must re-enter through the Sim3 fusion
+        pipeline (the reference's Reset cascade deletes the agent's
+        keyframes from the server database and restarts mapping,
+        src/Tracking.cc:1522-1572)."""
+        new_id = max(self.multimap.map_of_agent.values(), default=-1) + 1
+        self.multimap.add(tracker.agent, new_id)
+        tracker.map_id = new_id
+        self.consistency[tracker.agent] = []
+        self.loop_closers[tracker.agent].consistency.groups = []
 
     # -- per-keyframe processing (the MapFusion::Run loop) -----------------
 
