@@ -123,21 +123,27 @@ def resolve_conflicts(res: MatchResult, n_feats: int, query_ids=None):
 
     Returns frame_assign [F] int32 = winning query id (-1 none) and an
     updated per-query ok mask.
+
+    Formulated as a dense [Q, F] masked min/argmin instead of scatter-min:
+    TPU scatters serialize (each cost ~2.6 ms per 2048 updates — measured,
+    tools/PROFILE_FINDINGS.md 'tracking attribution'); the dense matrix is
+    a few hundred microseconds. argmin's first-minimum rule provides the
+    lowest-claimant tie-break directly.
     """
     Q = res.best_feat.shape[0]
     if query_ids is None:
         query_ids = jnp.arange(Q, dtype=jnp.int32)
-    feat = jnp.where(res.ok, res.best_feat, n_feats)
     big = jnp.asarray(1 << 20, jnp.int32)
-    # scatter-min of distance per feature
-    feat_best = jnp.full((n_feats + 1,), big).at[feat].min(res.best_dist)
-    win = res.ok & (res.best_dist <= feat_best[feat])
-    # ties: lowest query id wins (second scatter pass)
-    feat_winner = jnp.full((n_feats + 1,), jnp.asarray(1 << 30, jnp.int32)
-                           ).at[jnp.where(win, feat, n_feats)].min(query_ids)
-    win = win & (feat_winner[feat] == query_ids)
-    frame_assign = jnp.full((n_feats,), -1, jnp.int32).at[
-        jnp.where(win, feat, n_feats)].set(query_ids, mode="drop")
+    feat = jnp.where(res.ok, res.best_feat, -1)
+    claims = feat[:, None] == jnp.arange(n_feats, dtype=jnp.int32)[None, :]
+    dmat = jnp.where(claims, res.best_dist[:, None], big)   # [Q, F]
+    feat_best = jnp.min(dmat, axis=0)                       # [F]
+    qwin = jnp.argmin(dmat, axis=0)                         # first = lowest q
+    has = feat_best < big
+    frame_assign = jnp.where(has, query_ids[qwin], -1)
+    win = res.ok & has[jnp.clip(feat, 0, n_feats - 1)] \
+        & (qwin[jnp.clip(feat, 0, n_feats - 1)]
+           == jnp.arange(Q, dtype=jnp.int32)) & (feat >= 0)
     return frame_assign, res._replace(ok=win,
                                       best_feat=jnp.where(win, res.best_feat,
                                                           -1))

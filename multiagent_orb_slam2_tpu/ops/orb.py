@@ -219,14 +219,25 @@ def detect_level(img, budget: int, cfg: OrbConfig, border: int):
 # ---------------------------------------------------------------------------
 
 def extract_patches(img, xy, radius: int):
-    """Gather (2r+1)^2 patches around integer keypoints. xy: [N, 2] int32."""
+    """Gather (2r+1)^2 patches around integer keypoints. xy: [N, 2] int32.
+
+    One flat gather instead of a vmapped dynamic_slice: per-keypoint
+    dynamic slices lower to N serialized update-slice ops on TPU
+    (~2 ms per 2048 keypoints EACH, x8 pyramid levels — measured in
+    tools/PROFILE_FINDINGS.md 'tracking attribution')."""
     r = radius
     pad = jnp.pad(img, r, mode="edge")
-
-    def one(p):
-        return jax.lax.dynamic_slice(pad, (p[1], p[0]), (2 * r + 1, 2 * r + 1))
-
-    return jax.vmap(one)(xy)  # [N, 2r+1, 2r+1]
+    w = pad.shape[1]
+    offs = jnp.arange(2 * r + 1, dtype=jnp.int32)
+    # dynamic_slice semantics clamp the START so the window stays in
+    # bounds; clamp identically before the gather
+    y0 = jnp.clip(xy[:, 1], 0, pad.shape[0] - (2 * r + 1))
+    x0 = jnp.clip(xy[:, 0], 0, w - (2 * r + 1))
+    yy = y0[:, None, None] + offs[None, :, None]          # [N, P, 1]
+    xx = x0[:, None, None] + offs[None, None, :]          # [N, 1, P]
+    idx = yy * w + xx                                      # [N, P, P]
+    return jnp.take(pad.reshape(-1), idx.reshape(-1),
+                    mode="clip").reshape(idx.shape)
 
 
 @functools.lru_cache()
