@@ -134,16 +134,32 @@ def resolve_conflicts(res: MatchResult, n_feats: int, query_ids=None):
     if query_ids is None:
         query_ids = jnp.arange(Q, dtype=jnp.int32)
     big = jnp.asarray(1 << 20, jnp.int32)
-    feat = jnp.where(res.ok, res.best_feat, -1)
-    claims = feat[:, None] == jnp.arange(n_feats, dtype=jnp.int32)[None, :]
-    dmat = jnp.where(claims, res.best_dist[:, None], big)   # [Q, F]
-    feat_best = jnp.min(dmat, axis=0)                       # [F]
-    qwin = jnp.argmin(dmat, axis=0)                         # first = lowest q
-    has = feat_best < big
-    frame_assign = jnp.where(has, query_ids[qwin], -1)
-    win = res.ok & has[jnp.clip(feat, 0, n_feats - 1)] \
-        & (qwin[jnp.clip(feat, 0, n_feats - 1)]
-           == jnp.arange(Q, dtype=jnp.int32)) & (feat >= 0)
+    if Q * n_feats <= 6 * 1024 * 1024:
+        # dense masked min/argmin (argmin's first-minimum rule IS the
+        # lowest-claimant tie-break)
+        feat = jnp.where(res.ok, res.best_feat, -1)
+        claims = feat[:, None] == jnp.arange(n_feats,
+                                             dtype=jnp.int32)[None, :]
+        dmat = jnp.where(claims, res.best_dist[:, None], big)   # [Q, F]
+        feat_best = jnp.min(dmat, axis=0)                       # [F]
+        qwin = jnp.argmin(dmat, axis=0)
+        has = feat_best < big
+        frame_assign = jnp.where(has, query_ids[qwin], -1)
+        win = res.ok & has[jnp.clip(feat, 0, n_feats - 1)] \
+            & (qwin[jnp.clip(feat, 0, n_feats - 1)]
+               == jnp.arange(Q, dtype=jnp.int32)) & (feat >= 0)
+        return frame_assign, res._replace(
+            ok=win, best_feat=jnp.where(win, res.best_feat, -1))
+    # large query sets (the local-map call): the dense matrix costs more
+    # than the serialized scatters it replaces — keep scatter-min there
+    feat = jnp.where(res.ok, res.best_feat, n_feats)
+    feat_best = jnp.full((n_feats + 1,), big).at[feat].min(res.best_dist)
+    win = res.ok & (res.best_dist <= feat_best[feat])
+    feat_winner = jnp.full((n_feats + 1,), jnp.asarray(1 << 30, jnp.int32)
+                           ).at[jnp.where(win, feat, n_feats)].min(query_ids)
+    win = win & (feat_winner[feat] == query_ids)
+    frame_assign = jnp.full((n_feats,), -1, jnp.int32).at[
+        jnp.where(win, feat, n_feats)].set(query_ids, mode="drop")
     return frame_assign, res._replace(ok=win,
                                       best_feat=jnp.where(win, res.best_feat,
                                                           -1))
