@@ -76,7 +76,10 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     os.makedirs(args.work, exist_ok=True)
-    vocab_path = os.path.join(args.work, "vocab.npz")
+    # empty path -> drivers load the committed offline vocabulary asset
+    # (multiagent_orb_slam2_tpu/assets/vocab_synth_100k.npz), matching the
+    # reference protocol of one pre-trained vocabulary for every run
+    vocab_path = ""
 
     all_rows = []
     for trial in range(args.trials):

@@ -32,8 +32,9 @@ def loop_trajectory(n_frames: int, z_lo: float, z_hi: float, seed: int = 0):
     from multiagent_orb_slam2_tpu.geometry import se3
 
     rng = np.random.default_rng(seed)
-    n_turn = max(n_frames // 14, 24)
-    n_leg = (n_frames - 2 * n_turn) // 2
+    # clamp so short sequences (< ~100 frames) still produce positive legs
+    n_turn = min(max(n_frames // 14, 24), max(n_frames // 4, 1))
+    n_leg = max((n_frames - 2 * n_turn) // 2, 1)
     yaw = []
     zs = []
     # leg out

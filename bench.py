@@ -220,8 +220,9 @@ def bench_tracking(n_timed=10):
             acc, q, t = carry
             f = frame_mod.extract_frame(img_l + acc * 0, cfg,
                                         right_img=img_r)
-            out, _, dec = steps.track_frame_step(
-                state, f, prev_feats, prev_mp, ref_kf, q, t, True, cfg)
+            out, _, dec, _aux = steps.track_frame_step(
+                state, f, prev_feats, prev_mp, ref_kf, q, t,
+                jnp.array([1.0, 0, 0, 0]), jnp.zeros(3), False, True, cfg)
             return (acc + dec[1].astype(jnp.float32) * 1e-30, out.q, out.t)
         return jax.lax.fori_loop(0, n_timed, body,
                                  (jnp.asarray(0.0), q0, t0))

@@ -22,3 +22,17 @@ these modules.
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+import jax as _jax
+
+# TPU MXU matmuls default to bfloat16 inputs; an 8-bit mantissa on world
+# coordinates (|x| up to tens of meters, structure at millimeters) silently
+# corrupts the whole geometry pipeline — measured on the 120-frame lifecycle
+# corridor: ATE 2.42 m at default precision vs 0.29 m at float32 (round 5
+# triage; the same mechanism inflated the round-4 at-scale run to 3.6 m).
+# Pallas kernels manage their own precision and are unaffected; hot integer
+# paths (Hamming) don't care. SLAM_MATMUL_PRECISION overrides for perf A/B.
+_jax.config.update("jax_default_matmul_precision",
+                   _os.environ.get("SLAM_MATMUL_PRECISION", "highest"))

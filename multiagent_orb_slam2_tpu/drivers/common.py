@@ -12,6 +12,24 @@ from ..config import SlamConfig, Sensor, from_yaml_dict
 from ..vocab import bow as bow_mod
 
 
+def enable_compile_cache(path: str = None):
+    """Persistent XLA compilation cache: a fresh driver process re-runs
+    ~500 distinct compilations (~7 min through the tunneled compile helper)
+    before reaching steady state; the on-disk cache cuts that to seconds."""
+    import jax
+    path = path or os.environ.get("SLAM_COMPILE_CACHE",
+                                  "/tmp/jax_compile_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:
+        pass
+
+
+enable_compile_cache()
+
+
 SENSOR_OF = {"mono": Sensor.MONOCULAR, "stereo": Sensor.STEREO,
              "rgbd": Sensor.RGBD}
 
@@ -87,13 +105,25 @@ def get_rectifier(settings_path: str):
     return None
 
 
+DEFAULT_VOCAB = os.path.join(os.path.dirname(__file__), "..", "assets",
+                             "vocab_synth_100k.npz")
+
+
 def get_vocabulary(path: str, sequences=None, cfg: SlamConfig = None,
                    n_frames: int = 30) -> bow_mod.Vocabulary:
-    """Load a vocabulary, or train one from sample frames and cache it
-    (the reference ships ORBvoc.txt; this engine trains its own — see
-    vocab/__init__)."""
+    """Load a vocabulary; fall back to the committed offline asset, then to
+    per-run training (last resort — a vocabulary trained on 30 frames of
+    the sequence under test has measurably poor cross-map recall; the
+    reference always loads its offline-trained ORBvoc.txt,
+    src/MultiAgentServer.cc:16)."""
     if path and os.path.exists(path):
         return bow_mod.load_vocabulary(path)
+    if os.path.exists(DEFAULT_VOCAB):
+        if path:
+            print(f"warning: vocabulary {path} not found; using the "
+                  f"bundled asset {os.path.abspath(DEFAULT_VOCAB)}",
+                  file=sys.stderr)
+        return bow_mod.load_vocabulary(DEFAULT_VOCAB)
     if sequences is None:
         raise FileNotFoundError(f"vocabulary {path} not found and no "
                                 "training data given")

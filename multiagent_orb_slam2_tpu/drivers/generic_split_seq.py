@@ -44,6 +44,7 @@ def main(argv=None):
     server = MultiAgentServer(cfg, vocab)
     trackers = [server.register_client(a) for a in range(args.agents)]
 
+    from ..utils import diag
     timer = common.FrameTimer()
     # round-robin: frame i of every agent per tick (generic_split_seq.cc:339)
     max_len = max(len(s) for s in subs)
@@ -61,9 +62,12 @@ def main(argv=None):
                     trackers[a].track_rgbd(left, depth, frame_id=i)
                 else:
                     trackers[a].track_mono(left, frame_id=i)
+            diag.log_frame(a, i, trackers[a], server.shared)
         server.process_new_keyframes()
     server.shutdown()
     timer.report()
+    if server.n_relocalizations:
+        print(f"relocalizations: {server.n_relocalizations}")
 
     os.makedirs(args.out, exist_ok=True)
     from ..io import trajectory as traj_mod

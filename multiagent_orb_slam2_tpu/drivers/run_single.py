@@ -40,6 +40,7 @@ def main(argv=None):
     sys_ = System(cfg, vocab,
                   enable_loop_closing=not args.no_loop_closing)
 
+    from ..utils import diag
     n = len(seq) if not args.max_frames else min(args.max_frames, len(seq))
     timer = common.FrameTimer()
     for i in range(n):
@@ -53,6 +54,7 @@ def main(argv=None):
                 sys_.track_rgbd(left, depth, frame_id=i)
             else:
                 sys_.track_mono(left, frame_id=i)
+        diag.log_frame(0, i, sys_.tracker, sys_.shared)
     sys_.shutdown()
     timer.report()
 

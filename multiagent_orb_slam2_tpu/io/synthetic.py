@@ -65,7 +65,16 @@ class BoxScene:
         self.half_w = half_w
         self.half_h = half_h
         self.tex_scale = tex_scale
-        self.textures = [make_texture(seed + i) for i in range(5)]
+        # texture must NOT wrap within the scene: with a 1024-px tile at
+        # 120 px/m the walls repeated every ~8.5 m and the corridor became
+        # perceptually periodic — place recognition then finds GENUINE
+        # (descriptor- and geometry-consistent) matches between places
+        # meters apart, and every such "loop closure" corrupts the map
+        # (observed: false loops at frames 95/127 of the 660-frame run,
+        # 40 lost frames after the bogus correction)
+        size = int(min(max(1024, tex_scale * (z_far + 4.0)), 8192))
+        size = -(-size // 32) * 32   # block generator needs a 32-px multiple
+        self.textures = [make_texture(seed + i, size=size) for i in range(6)]
 
     def _sample(self, tex_id, a, b):
         """Bilinear sample texture `tex_id` at world coords (a, b) in meters."""
@@ -105,10 +114,14 @@ class BoxScene:
         best_t = np.full((h, w), np.inf)
         color = np.zeros((h, w), np.float32)
 
-        # (axis, value, tex_id): floor/ceiling (y), left/right walls (x), back (z)
+        # (axis, value, tex_id): floor/ceiling (y), left/right walls (x),
+        # far wall (z) and near wall closing the corridor behind the start —
+        # without it a camera that turns 180 degrees at the start faces open
+        # void and tracking starves (observed: frames 601-617 of the 660
+        # frame loop lose tracking exactly when facing backward at z~1)
         planes = [(1, self.half_h, 0), (1, -self.half_h, 1),
                   (0, -self.half_w, 2), (0, self.half_w, 3),
-                  (2, self.z_far, 4)]
+                  (2, self.z_far, 4), (2, -0.5, 5)]
         for axis, value, tex_id in planes:
             d_ax = dirs_w[..., axis]
             with np.errstate(divide="ignore", invalid="ignore"):

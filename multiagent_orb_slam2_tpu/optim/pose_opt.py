@@ -114,6 +114,13 @@ def _pose_optimize_xla(q0, t0, obs: PoseObs, cam: Intrinsics,
             dx = _solve_normal(H, b, lam)
             dq, dt = se3.se3_exp(dx)
             q_new, t_new = se3.compose(dq, dt, q, t)
+            # renormalize every accepted step: compose drifts the norm, and
+            # an unnormalized pose fed back through the constant-velocity
+            # prediction COMPOUNDS multiplicatively across frames until
+            # projection collapses (|q| reached 2.57 in 6 frames on the
+            # lifecycle test; the Pallas kernel normalizes in-register,
+            # pose_opt_pallas.py:110, which is why only the XLA path broke)
+            q_new = se3.quat_normalize(q_new)
             _, _, cost1, _ = _build_normal_eq(
                 cam, q_new, t_new, obs, inlier.astype(q.dtype), delta2_m,
                 delta2_s, use_huber)

@@ -14,6 +14,7 @@ steps over MapState arrays.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional
 
 import jax
@@ -74,12 +75,14 @@ class LoopCloser:
     def process_keyframe(self, shared, kf_slot: int) -> Optional[Sim3Match]:
         """Detect + verify a loop for a freshly inserted keyframe. Adds the
         KF to the database either way (reference adds after the query,
-        src/LoopClosing.cc:121,249). Returns a verified Sim3Match or None."""
+        src/LoopClosing.cc:121,249). Returns a verified Sim3Match or None.
+
+        The database insert, minScore scan and candidate query run as ONE
+        jitted program with a single [K]-mask fetch."""
         st = shared.state
-        desc = st.kf_desc[kf_slot]
-        valid = st.kf_feat_valid[kf_slot]
-        self.db, words, vec = kfdb_mod.add_keyframe(self.db, self.vocab,
-                                                    kf_slot, desc, valid)
+        self.db, cand_mask, words, valid, vec = _detect_loop_query(
+            self.db, self.vocab, st, kf_slot,
+            self.cfg.mapping.covis_edge_min_weight)
         # refractory window in creation-sequence numbers, not slots (slots
         # are recycled; reference counts keyframe mnIds,
         # src/LoopClosing.cc:137)
@@ -93,7 +96,7 @@ class LoopCloser:
         if len(shared.uid_slot) < self.cfg.loop.refractory_kfs:
             return None
 
-        cand = self._detect(shared, kf_slot, words, valid, vec)
+        cand = self._detect(shared, kf_slot, cand_mask, words, valid, vec)
         if not cand:
             return None
         for c in cand:
@@ -102,28 +105,23 @@ class LoopCloser:
                 return m
         return None
 
-    def _detect(self, shared, kf_slot, words, valid, vec):
+    def _detect(self, shared, kf_slot, cand_mask, words, valid, vec):
         st = shared.state
-        covis_row = st.covis[kf_slot]
-        # minScore = lowest BoW similarity to direct covisibles
-        # (src/LoopClosing.cc:153-173)
-        neigh = np.nonzero(np.asarray(covis_row) >= 15)[0]
-        if len(neigh):
-            scores = np.asarray(bow_mod.l1_score(vec, self.db.bow[
-                jnp.asarray(neigh)]))
-            min_score = float(max(scores.min(), 1e-3))
-        else:
-            min_score = 1e-3
-        # exclude self from the database query (it was just added)
-        db = kfdb_mod.erase_keyframe(self.db, kf_slot)
-        cand_mask, _ = kfdb_mod.detect_loop_candidates(
-            db, self.vocab, words, valid, vec, covis_row, kf_slot,
-            st.covis, min_score)
         cands = np.nonzero(np.asarray(cand_mask))[0].tolist()
         if not cands:
             self.consistency.groups = []
-            return []
-        return self._consistency_filter(shared, cands)
+            enough = []
+        else:
+            enough = self._consistency_filter(shared, cands)
+        from ..utils import diag
+        if diag.recall_sink().enabled:
+            db = kfdb_mod.erase_keyframe(self.db, kf_slot)
+            diag.log_recall_query(
+                "loop", -1, kf_slot, int(st.kf_frame_id[kf_slot]), db,
+                words, valid, vec, np.asarray(st.covis), None, -1,
+                cands, enough,
+                [c for (_, c) in self.consistency.groups])
+        return enough
 
     def _consistency_filter(self, shared, cands):
         """Covisibility-consistency groups (src/LoopClosing.cc:180-245)."""
@@ -372,10 +370,8 @@ class LoopCloser:
 
         # fuse the matched map points into the corrected neighborhood
         ids = jnp.asarray(match.point_ids)
-        neigh = np.nonzero(np.asarray(
-            ms.covis_neighbors_mask(st, kf_q, 1).at[kf_q].set(True)))[0]
-        for n in neigh[:15]:
-            shared.state = mapping.fuse_into_kf(shared.state, ids, int(n), cfg)
+        shared.state = mapping.fuse_into_neighborhood(shared.state, ids,
+                                                      kf_q, cfg)
         shared.state = mapping.rebuild_observations(shared.state)
         shared.state = steps.recompute_covisibility(shared.state)
 
@@ -414,6 +410,31 @@ class LoopCloser:
 # ---------------------------------------------------------------------------
 # jitted helpers (shared with MapFusion)
 # ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("covis_min_edge",))
+def _detect_loop_query(db, vocab, st: ms.MapState, kf_slot,
+                       covis_min_edge: int = 15):
+    """DB insert + minScore scan + DetectLoopCandidates as one program.
+
+    minScore = lowest BoW similarity against the query's direct covisibles
+    (src/LoopClosing.cc:153-173); the query itself excludes the covisible
+    neighborhood and the freshly-inserted query row
+    (src/KeyFrameDatabase.cc:76-197)."""
+    db2, words, vec = kfdb_mod.add_keyframe(
+        db, vocab, kf_slot, st.kf_desc[kf_slot], st.kf_feat_valid[kf_slot])
+    covis_row = st.covis[kf_slot]
+    neigh = covis_row >= covis_min_edge
+    scores, _ = kfdb_mod.score_and_common(db2, words,
+                                          st.kf_feat_valid[kf_slot], vec)
+    neigh_scores = jnp.where(neigh & db2.active, scores, jnp.inf)
+    has_neigh = jnp.any(jnp.isfinite(neigh_scores))
+    min_score = jnp.maximum(
+        jnp.where(has_neigh, jnp.min(neigh_scores), 1e-3), 1e-3)
+    dbq = kfdb_mod.erase_keyframe(db2, kf_slot)
+    cand_mask, _ = kfdb_mod.detect_loop_candidates(
+        dbq, vocab, words, st.kf_feat_valid[kf_slot], vec, covis_row,
+        kf_slot, st.covis, min_score)
+    return db2, cand_mask, words, st.kf_feat_valid[kf_slot], vec
 
 def correct_neighborhood(st: ms.MapState, kf_q: int, s, q, t,
                          cfg: SlamConfig):

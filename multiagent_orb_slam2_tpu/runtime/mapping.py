@@ -75,7 +75,8 @@ def _apply_point_rewrite(state: ms.MapState, map_to):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def fuse_into_kf(state: ms.MapState, point_ids, target_kf, cfg: SlamConfig):
+def fuse_into_kf(state: ms.MapState, point_ids, target_kf, cfg: SlamConfig,
+                 enable=True):
     """Project candidate points into target_kf and fuse duplicates
     (ORBmatcher::Fuse, src/ORBmatcher.cc:827): window-match each projected
     point against the keyframe's features; a hit on a feature that already
@@ -83,10 +84,12 @@ def fuse_into_kf(state: ms.MapState, point_ids, target_kf, cfg: SlamConfig):
     wins, MapPoint::Replace); a hit on a free feature adds an association.
 
     Returns the updated state. point_ids: [Q] int32 (P = padding).
+    `enable=False` makes the call a no-op (masked scan iterations in the
+    keyframe pipeline).
     """
     K, F, P, O = state.caps
     ids_c = jnp.clip(point_ids, 0, P - 1)
-    q_mask = (point_ids < P) & state.mp_valid[ids_c]
+    q_mask = (point_ids < P) & state.mp_valid[ids_c] & enable
     pw = state.mp_pos[ids_c]
     q_kf = state.kf_q[target_kf]
     t_kf = state.kf_t[target_kf]
@@ -145,6 +148,29 @@ def fuse_into_kf(state: ms.MapState, point_ids, target_kf, cfg: SlamConfig):
 
     state = state._replace(kf_mp=state.kf_mp.at[target_kf].set(kf_mp_row))
     state = _apply_point_rewrite(state, map_to)
+    return state
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_max"))
+def fuse_into_neighborhood(state: ms.MapState, point_ids, center_kf,
+                           cfg: SlamConfig, n_max: int = 15):
+    """Fuse a point set into center_kf and its strongest covisible
+    neighbors in one scanned dispatch (the SearchAndFuse loops of
+    src/LoopClosing.cc:608-634 and src/MapFusion.cc:667/:745-772 — the
+    reference iterates the corrected neighborhood keyframe by keyframe)."""
+    K = state.kf_q.shape[0]
+    row = state.covis[center_kf].at[center_kf].set(0)
+    top_w, top_i = jax.lax.top_k(row, min(n_max - 1, K))
+    center = jnp.asarray(center_kf, jnp.int32)[None]
+    targets = jnp.concatenate([center, top_i.astype(jnp.int32)])
+    ok = jnp.concatenate([jnp.ones(1, bool), top_w > 0])
+    ok &= state.kf_valid[targets]
+
+    def body(st, x):
+        tgt, o = x
+        return fuse_into_kf(st, point_ids, tgt, cfg, enable=o), 0
+
+    state, _ = jax.lax.scan(body, state, (targets, ok))
     return state
 
 

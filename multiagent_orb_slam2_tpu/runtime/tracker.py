@@ -117,7 +117,11 @@ class SharedMap:
             self.n_point_stalls += (self.n_mp + n_new
                                     - self.cfg.caps.max_points)
         self.n_mp = min(self.n_mp + n_new, self.cfg.caps.max_points)
-        if self.cfg.caps.max_points - self.n_mp < self.cfg.caps.max_features:
+        # keep a full keyframe-pipeline's worth of headroom: one fused KF
+        # dispatch can allocate several neighbor-pairs' worth of new points
+        # before the host sees the count
+        if self.cfg.caps.max_points - self.n_mp \
+                < 4 * self.cfg.caps.max_features:
             self.compact_points()
 
     def compact_points(self):
@@ -261,8 +265,10 @@ class Tracker:
             self._record(lost=not ok)
             return (self.last_q, self.last_t) if ok else None
 
-        q_pred, t_pred = self._predict_pose()
         sh = self.shared
+
+        if self.state == TrackerState.LOST or self.only_tracking:
+            q_pred, t_pred = self._predict_pose()
 
         if self.state == TrackerState.LOST:
             # auto-reset when lost with a barely-started map (reference
@@ -294,9 +300,11 @@ class Tracker:
         # local map, with the host's small-scalar decisions packed into a
         # single [5] vector (one device fetch per frame instead of 3-5
         # blocking int() reads — each costs a full dispatch round trip)
-        tr, new_state, decision = steps.track_frame_step(
+        tr, new_state, decision, aux = steps.track_frame_step(
             sh.state, feats, self.last_feats, self.last_frame_mp,
-            self.ref_kf, q_pred, t_pred, sh.n_kf > 2, self.cfg)
+            self.ref_kf, self.last_q, self.last_t, self.vel_q, self.vel_t,
+            self.has_velocity, sh.n_kf > 2, self.cfg)
+        q_pred, t_pred, vel_q, vel_t = aux
         decision = np.asarray(decision)
         ok = bool(decision[0])
         sh.state = new_state
@@ -314,11 +322,9 @@ class Tracker:
             return None
 
         self.state = TrackerState.OK
-        # velocity: Tcw_cur * Twc_last
-        if self.last_q is not None:
-            self.vel_q, self.vel_t = se3.relative(tr.q, tr.t, self.last_q,
-                                                  self.last_t)
-            self.has_velocity = True
+        # velocity (computed in-step): Tcw_cur * Twc_last
+        self.vel_q, self.vel_t = vel_q, vel_t
+        self.has_velocity = True
 
         need_kf = self._need_new_keyframe(feats, tr)
         frame_mp = tr.frame_mp
@@ -548,61 +554,41 @@ class Tracker:
         return int((valid & (n_obs >= 3)).sum())
 
     def _create_keyframe(self, feats, tr):
+        """KF insert + triangulation + local mapping + local BA + culling in
+        ONE jitted dispatch (steps.keyframe_pipeline_step — the reference's
+        LocalMapping iteration, SURVEY.md §3.3) with exactly two device
+        fetches: the new-point count and the cull report."""
         sh = self.shared
         kf_slot = sh.alloc_kf()
-        sh.state, frame_mp, n_new = steps.create_keyframe_step(
+        run_ba = bool(self.run_local_ba and sh.n_kf >= 3)
+        (sh.state, frame_mp, q_kf, t_kf, n_new,
+         cull_vec) = steps.keyframe_pipeline_step(
             sh.state, feats, tr.q, tr.t, tr.frame_mp, self.frame_id,
-            self.agent, self.map_id, kf_slot, sh.mp_base(), self.cfg)
+            self.agent, self.map_id, kf_slot, sh.mp_base(), self.cfg,
+            run_ba)
+        n_comp = sh.n_compactions
         sh.commit_mp(int(n_new))
+        if sh.n_compactions != n_comp:
+            # commit triggered a point compaction, which permuted every
+            # point slot; the frame_mp row fetched from the PRE-compaction
+            # state would feed stale ids into the next frame's motion model
+            # (observed: a total matching wipeout every ~33 frames on the
+            # tight-capacity lifecycle test)
+            frame_mp = sh.state.kf_mp[kf_slot]
         self.ref_kf = kf_slot
         self.last_kf_frame = self.frame_id
         self.new_kf_slots.append(kf_slot)
-        # spawn points by triangulating against top covisible neighbors.
-        # CreateNewMapPoints runs for ALL sensors (src/LocalMapping.cc:213):
-        # stereo/RGB-D gets its close points directly from depth at KF
-        # creation, but far structure (beyond ThDepth) only ever comes from
-        # multi-view triangulation. nn = 10 (20 for mono), reference :221.
-        mono = self.cfg.sensor == Sensor.MONOCULAR
-        nn = (2 * self.cfg.mapping.triangulation_neighbors if mono
-              else self.cfg.mapping.triangulation_neighbors)
-        row = np.asarray(sh.state.covis[kf_slot])
-        neigh = np.argsort(-row)[:nn]
-        if not mono:
-            # baseline gate: skip neighbors closer than the stereo rig's own
-            # baseline — they add no parallax (src/LocalMapping.cc:255-261)
-            q1i, c1 = se3.inverse(sh.state.kf_q[kf_slot],
-                                  sh.state.kf_t[kf_slot])
-            c1 = np.asarray(c1)
-        for nkf in neigh:
-            if row[nkf] <= 0:
-                break
-            if not mono:
-                _, c2 = se3.inverse(sh.state.kf_q[int(nkf)],
-                                    sh.state.kf_t[int(nkf)])
-                if float(np.linalg.norm(np.asarray(c2) - c1)) \
-                        < self.cfg.camera.baseline:
+        if run_ba:
+            cull = np.asarray(cull_vec)
+            for row in cull:
+                slot = int(row[0])
+                if slot < 0:
                     continue
-            sh.state, n_tri = steps.triangulate_pair_step(
-                sh.state, kf_slot, int(nkf), sh.mp_base(), self.cfg)
-            sh.commit_mp(int(n_tri))
-        # synchronous LocalMapping pass: cull + fuse duplicates + local BA
-        from . import mapping
-        sh.state = mapping.local_mapping_pass(sh.state, kf_slot, self.cfg)
-        if self.run_local_ba and sh.n_kf >= 3:
-            sh.state = steps.local_ba_step(sh.state, kf_slot, self.cfg)
-            sh.state = steps.recompute_covisibility(sh.state)
-            # cull redundant neighbors (KeyFrameCulling, after local BA)
-            sh.state, culled, cull_info = mapping.keyframe_culling(
-                sh.state, kf_slot, self.cfg)
-            self.culled_kf_slots += culled
-            for slot in culled:
-                parent, rel_q, rel_t = cull_info.get(
-                    slot, (None, None, None))
-                sh.note_culled(slot, parent, rel_q, rel_t)
-        # fusion may have remapped point identities; the keyframe's own
-        # feature->point row is the authoritative post-fusion assignment
-        frame_mp = sh.state.kf_mp[kf_slot]
-        return frame_mp, sh.state.kf_q[kf_slot], sh.state.kf_t[kf_slot]
+                parent = int(row[1])
+                self.culled_kf_slots.append(slot)
+                sh.note_culled(slot, parent if parent >= 0 else None,
+                               row[2:6].copy(), row[6:9].copy())
+        return frame_mp, q_kf, t_kf
 
     def _record(self, lost: bool):
         """Append the per-frame trajectory record with ONE device fetch.

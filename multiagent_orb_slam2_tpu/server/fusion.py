@@ -106,10 +106,8 @@ def merge_maps(shared, multimap, match: lc.Sim3Match, cur_map: int,
 
     # dedup matched points around the seam (reference SearchAndFuse :667)
     ids = jnp.asarray(match.point_ids)
-    neigh = np.nonzero(np.asarray(
-        ms.covis_neighbors_mask(shared.state, kf_q, 1).at[kf_q].set(True)))[0]
-    for n in neigh[:15]:
-        shared.state = mapping.fuse_into_kf(shared.state, ids, int(n), cfg)
+    shared.state = mapping.fuse_into_neighborhood(shared.state, ids, kf_q,
+                                                  cfg)
     shared.state = mapping.rebuild_observations(shared.state)
     shared.state = steps.recompute_covisibility(shared.state)
 
@@ -166,23 +164,52 @@ def covisibility_discovery(shared, server_db, vocab, moved_kf_slots,
         jnp.asarray(moved), st.covis)
     cand_b = np.asarray(cand_b)[:Nm]                        # [Nm, K]
 
-    n_processed = 0
-    per_kf_ms = []
-    for row, k in zip(cand_b, slots.tolist()):
-        t0 = time.perf_counter()
-        for c in np.nonzero(row)[0].tolist():
-            # fuse candidate KF's points into the moved KF and vice versa
-            ids = shared.state.kf_mp[int(c)]
-            ids = jnp.where(ids >= 0, ids, P)
-            shared.state = mapping.fuse_into_kf(shared.state, ids, int(k), cfg)
-            ids_k = shared.state.kf_mp[int(k)]
-            ids_k = jnp.where(ids_k >= 0, ids_k, P)
-            shared.state = mapping.fuse_into_kf(shared.state, ids_k, int(c),
-                                                cfg)
-            n_processed += 1
-        jax.block_until_ready(shared.state.kf_mp)
-        per_kf_ms.append((time.perf_counter() - t0) * 1e3)
-    if n_processed:
-        shared.state = mapping.rebuild_observations(shared.state)
-        shared.state = steps.recompute_covisibility(shared.state)
+    # flatten to (moved KF, candidate) pairs and fuse them all in ONE
+    # scanned dispatch — the earlier per-pair host loop cost two dispatches
+    # plus a blocking sync per pair (~minutes at the reference's KITTI-02
+    # scale of ~726 moved KFs against a CD budget of 15.3 s, BASELINE.md)
+    kk, cc = np.nonzero(cand_b)
+    n_processed = len(kk)
+    if n_processed == 0:
+        return 0, []
+    t0 = time.perf_counter()
+    npairs = max(16, -(-n_processed // 16) * 16)
+    k_arr = np.zeros(npairs, np.int32)
+    c_arr = np.zeros(npairs, np.int32)
+    ok_arr = np.zeros(npairs, bool)
+    k_arr[:n_processed] = slots[kk]
+    c_arr[:n_processed] = cc
+    ok_arr[:n_processed] = True
+    shared.state = _cd_fuse_pairs(shared.state, jnp.asarray(k_arr),
+                                  jnp.asarray(c_arr), jnp.asarray(ok_arr),
+                                  cfg)
+    shared.state = mapping.rebuild_observations(shared.state)
+    shared.state = steps.recompute_covisibility(shared.state)
+    jax.block_until_ready(shared.state.kf_mp)
+    total_ms = (time.perf_counter() - t0) * 1e3
+    # per-KF attribution is no longer individually timed (one fused
+    # dispatch); the stats columns get the uniform split
+    per_kf_ms = [total_ms / Nm] * Nm
     return n_processed, per_kf_ms
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _cd_fuse_pairs(state: ms.MapState, k_arr, c_arr, ok_arr,
+                   cfg: SlamConfig):
+    """Fuse (candidate -> moved KF) and (moved KF -> candidate) for every
+    pair under lax.scan (the reference's ORBmatcher::Fuse per candidate
+    pair, src/MapFusion.cc:903-910)."""
+    K, F, P, O = state.caps
+
+    def body(st, x):
+        k, c, ok = x
+        ids = st.kf_mp[c]
+        ids = jnp.where(ids >= 0, ids, P)
+        st = mapping.fuse_into_kf(st, ids, k, cfg, enable=ok)
+        ids_k = st.kf_mp[k]
+        ids_k = jnp.where(ids_k >= 0, ids_k, P)
+        st = mapping.fuse_into_kf(st, ids_k, c, cfg, enable=ok)
+        return st, 0
+
+    state, _ = jax.lax.scan(body, state, (k_arr, c_arr, ok_arr))
+    return state

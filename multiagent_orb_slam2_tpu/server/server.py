@@ -17,13 +17,16 @@ from __future__ import annotations
 import time
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..config import SlamConfig
 from ..mapstate import state as ms
 from ..runtime import loop_closing as lc
-from ..runtime.tracker import SharedMap, Tracker
+from ..runtime import reloc as reloc_mod
+from ..runtime.tracker import SharedMap, Tracker, TrackerState
+from ..utils import diag
 from ..vocab import bow as bow_mod
 from ..vocab import kfdb as kfdb_mod
 from . import fusion
@@ -43,6 +46,7 @@ class MultiAgentServer:
         self.trackers: dict[int, Tracker] = {}
         self.loop_closers: dict[int, lc.LoopCloser] = {}
         self.stats: list[dict] = []              # MAP_FUSION_STATS equivalent
+        self.n_relocalizations = 0
 
     # -- registration (reference RegisterClient/RegisterServer) ------------
 
@@ -71,10 +75,27 @@ class MultiAgentServer:
 
     # -- per-keyframe processing (the MapFusion::Run loop) -----------------
 
+    def maybe_relocalize(self, agent: int) -> bool:
+        """Relocalize a lost tracker against the global database, scoped to
+        its own map (the reference runs Relocalization inside every agent's
+        Tracking thread, src/Tracking.cc:331 + :1359-1520 — without this the
+        split agents dead-reckon forever after a hard segment)."""
+        tracker = self.trackers[agent]
+        if tracker.state != TrackerState.LOST or tracker.last_feats is None:
+            return False
+        ok = reloc_mod.relocalize(tracker, self.db, self.vocab,
+                                  tracker.last_feats, self.cfg,
+                                  map_id=self.multimap.map_of(agent))
+        if ok:
+            self.n_relocalizations += 1
+        return ok
+
     def process_new_keyframes(self):
-        """Drain every tracker's new-KF queue: run the agent's own loop
-        closing; KFs that are not intra-map loops go to fusion detection
-        (reference src/LoopClosing.cc:82-95)."""
+        """Drain every tracker's new-KF queue: relocalize lost trackers, run
+        the agent's own loop closing; KFs that are not intra-map loops go to
+        fusion detection (reference src/LoopClosing.cc:82-95)."""
+        for agent in self.trackers:
+            self.maybe_relocalize(agent)
         for agent, tracker in self.trackers.items():
             drained = False
             while tracker.culled_kf_slots:
@@ -97,18 +118,17 @@ class MultiAgentServer:
                 self._insert_keyframe_fusion(agent, kf_slot)
 
     def _insert_keyframe_fusion(self, agent: int, kf_slot: int):
-        """One MapFusion iteration for a queued keyframe."""
+        """One MapFusion iteration for a queued keyframe: DB insert +
+        candidate query as one jitted program, one mask fetch."""
         st = self.shared.state
-        desc = st.kf_desc[kf_slot]
-        valid = st.kf_feat_valid[kf_slot]
-        self.db, words, vec = kfdb_mod.add_keyframe(
-            self.db, self.vocab, kf_slot, desc, valid)
+        self.db, cand_mask, words, valid, vec = _fusion_detect_query(
+            self.db, self.vocab, st, kf_slot)
 
         if self.multimap.n_maps < 2:
             return  # everything already fused
 
-        cands = self._detect_fusion_candidates(agent, kf_slot, words, valid,
-                                               vec)
+        cands = self._detect_fusion_candidates(agent, kf_slot, cand_mask,
+                                               words, valid, vec)
         for c in cands:
             t0 = time.perf_counter()
             closer = self.loop_closers[agent]
@@ -119,26 +139,21 @@ class MultiAgentServer:
             self._fuse(agent, match, sim3_ms)
             return
 
-    def _detect_fusion_candidates(self, agent, kf_slot, words, valid, vec):
+    def _detect_fusion_candidates(self, agent, kf_slot, cand_mask, words,
+                                  valid, vec):
         """DetectFusionCandidates (src/MapFusion.cc:96-237): global-database
         loop query, drop same-map candidates (:135-144), per-agent
         consistency groups >= 3 (:166-218)."""
         st = self.shared.state
         cur_map = self.multimap.map_of(agent)
-        db = kfdb_mod.erase_keyframe(self.db, kf_slot)
-        cand_mask, _ = kfdb_mod.detect_loop_candidates(
-            db, self.vocab, words, valid, vec, st.covis[kf_slot], kf_slot,
-            st.covis, min_score=None)
         cand = np.nonzero(np.asarray(cand_mask))[0]
         kf_map = np.asarray(st.kf_map)
+        cand_pre = [int(c) for c in cand]
         cand = [int(c) for c in cand if kf_map[c] != cur_map and kf_map[c] >= 0]
-        if not cand:
-            self.consistency[agent] = []
-            return []
         # consistency groups, per agent (reference keys them per System)
         covis = np.asarray(st.covis)
         th = self.cfg.loop.consistency_th
-        new_groups, enough = [], []
+        new_groups, enough, counts = [], [], []
         for c in cand:
             group = set(np.nonzero(covis[c] > 0)[0].tolist()) | {c}
             best = 0
@@ -146,9 +161,18 @@ class MultiAgentServer:
                 if group & g:
                     best = max(best, count + 1)
             new_groups.append((group, best))
+            counts.append(best)
             if best >= th:
                 enough.append(c)
         self.consistency[agent] = new_groups
+        if diag.recall_sink().enabled:
+            dbq = kfdb_mod.erase_keyframe(self.db, kf_slot)
+            diag.log_recall_query(
+                "fusion", agent, kf_slot, int(st.kf_frame_id[kf_slot]),
+                dbq, words, valid, vec, covis, kf_map, cur_map,
+                cand_pre, enough, counts)
+        if not cand:
+            self.consistency[agent] = []
         return enough
 
     def _fuse(self, agent: int, match: lc.Sim3Match, sim3_ms: float):
@@ -201,3 +225,19 @@ class MultiAgentServer:
 
     def shutdown(self):
         self.process_new_keyframes()
+
+
+@jax.jit
+def _fusion_detect_query(db, vocab, st, kf_slot):
+    """Global-DB insert + fusion candidate query as one program (the
+    reference's mpKeyFrameDB->add + DetectLoopCandidates pair inside
+    MapFusion, src/MapFusion.cc:96-237; no minScore gate — the fusion query
+    relies on the consistency groups instead)."""
+    valid = st.kf_feat_valid[kf_slot]
+    db2, words, vec = kfdb_mod.add_keyframe(db, vocab, kf_slot,
+                                            st.kf_desc[kf_slot], valid)
+    dbq = kfdb_mod.erase_keyframe(db2, kf_slot)
+    cand_mask, _ = kfdb_mod.detect_loop_candidates(
+        dbq, vocab, words, valid, vec, st.covis[kf_slot], kf_slot,
+        st.covis, None)
+    return db2, cand_mask, words, valid, vec

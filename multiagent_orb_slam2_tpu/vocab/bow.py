@@ -56,14 +56,27 @@ class Vocabulary:
 # Training (hierarchical binary k-medians, host side)
 # ---------------------------------------------------------------------------
 
+_POP8 = np.array([bin(i).count("1") for i in range(256)], np.uint8)
+
+
 def _popcount_np(x):
-    return np.unpackbits(x.view(np.uint8), axis=-1).sum(-1)
+    return _POP8[x.view(np.uint8)].sum(-1, dtype=np.int32)
 
 
-def _hamming_np(a, b):
-    """a [N, 8], b [M, 8] -> [N, M]"""
-    return np.stack([_popcount_np(np.bitwise_xor(a, b[j]))
-                     for j in range(b.shape[0])], axis=1)
+def _hamming_np(a, b, chunk: int = 1 << 16):
+    """a [N, 8] u32, b [M, 8] u32 -> [N, M] int32 Hamming distances.
+
+    Byte-LUT popcount over XOR, chunked over N so the [chunk, M, 32] u8
+    temporary stays small — the per-column Python loop this replaces was the
+    training bottleneck at corpus scale (10^5+ descriptors)."""
+    a8 = np.ascontiguousarray(a).view(np.uint8).reshape(len(a), 32)
+    b8 = np.ascontiguousarray(b).view(np.uint8).reshape(len(b), 32)
+    out = np.empty((len(a), len(b)), np.int32)
+    for s in range(0, len(a), chunk):
+        e = min(s + chunk, len(a))
+        out[s:e] = _POP8[a8[s:e, None, :] ^ b8[None, :, :]].sum(
+            -1, dtype=np.int32)
+    return out
 
 
 def _binary_mean(descs):

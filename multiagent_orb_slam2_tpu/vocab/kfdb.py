@@ -1,17 +1,28 @@
 """Keyframe database: loop / relocalization / covisibility candidate queries.
 
 Replaces KeyFrameDatabase (reference src/KeyFrameDatabase.cc). The inverted
-index becomes two dense device arrays maintained alongside MapState:
+index becomes a SPARSE per-keyframe word table maintained alongside MapState:
 
-- bow:      [K, W] float32 L1-normalized tf-idf rows
-- presence: [K, W] bool word occupancy
+- words: [K, M] int32   unique word ids of each keyframe (-1 padded)
+- wts:   [K, M] float32 L1-normalized tf-idf weight per unique word
+- active:[K] bool       registered keyframes
 
-Each query is a handful of masked reductions over [K] instead of an
-inverted-file walk; the covisibility-group accumulation uses the dense covis
-matrix directly. The reference's DetectCovisibilityCandidates bug
-(mCovisScore accumulated but never assigned, src/KeyFrameDatabase.cc:275 —
-SURVEY.md §2d) is deliberately not replicated: scores here are always
-assigned before accumulation.
+with M = the per-frame feature capacity (a frame can contribute at most one
+unique word per feature). Queries scatter the QUERY once into a dense [W]
+vector, then gather it at every row's word ids — O(K*M) work and memory
+regardless of vocabulary size. The earlier dense [K, W] design collided
+head-on with real vocabularies: at the reference's 10^6 words
+(Thirdparty/DBoW2/DBoW2/TemplatedVocabulary.h:241) it would need GBs per
+replica, while this form is ~8 bytes per (keyframe, word) occurrence.
+
+L1 scoring uses the min-form identity: for L1-normalized non-negative
+vectors, 1 - 0.5*|v - w|_1 == sum_i min(v_i, w_i) — the same quantity DBoW2
+accumulates over the sparse intersection (TemplatedVocabulary.h:162).
+
+The reference's DetectCovisibilityCandidates bug (mCovisScore accumulated
+but never assigned, src/KeyFrameDatabase.cc:275 — SURVEY.md §2d) is
+deliberately not replicated: scores here are always assigned before
+accumulation.
 """
 from __future__ import annotations
 
@@ -26,35 +37,81 @@ from .bow import Vocabulary
 
 
 class KFDatabase(NamedTuple):
-    bow: jnp.ndarray        # [K, W] tf-idf rows (zero rows = absent)
-    presence: jnp.ndarray   # [K, W] bool
+    words: jnp.ndarray      # [K, M] int32 unique word ids (-1 = empty slot)
+    wts: jnp.ndarray        # [K, M] float32 tf-idf weights (L1-normalized row)
     active: jnp.ndarray     # [K] bool — registered keyframes
 
 
-def empty_database(max_kf: int, vocab: Vocabulary) -> KFDatabase:
-    W = vocab.n_words
-    return KFDatabase(bow=jnp.zeros((max_kf, W), jnp.float32),
-                      presence=jnp.zeros((max_kf, W), bool),
+def empty_database(max_kf: int, vocab: Vocabulary,
+                   max_words_per_kf: int = 1024) -> KFDatabase:
+    M = max_words_per_kf
+    return KFDatabase(words=jnp.full((max_kf, M), -1, jnp.int32),
+                      wts=jnp.zeros((max_kf, M), jnp.float32),
                       active=jnp.zeros(max_kf, bool))
 
 
 @jax.jit
 def add_keyframe(db: KFDatabase, vocab: Vocabulary, kf_slot, desc, valid):
-    """Insert a keyframe's descriptors (KeyFrameDatabase::add)."""
+    """Insert a keyframe's descriptors (KeyFrameDatabase::add).
+
+    Returns (db, words [F] per-feature word ids, dense tf-idf vector [W]) —
+    callers reuse the dense query vector for their own Detect* query."""
     words = bow_mod.transform_words(vocab, desc, valid)
-    v = bow_mod.bow_vector(vocab, words, valid)
+    v = bow_mod.bow_vector(vocab, words, valid)          # dense [W]
+    M = db.words.shape[1]
+    F = words.shape[0]
     W = vocab.n_words
-    pres = jnp.zeros((W + 1,), bool).at[
-        jnp.where(words >= 0, words, W)].set(True)[:W]
-    return db._replace(bow=db.bow.at[kf_slot].set(v),
-                       presence=db.presence.at[kf_slot].set(pres),
+    # unique word ids of this frame, padded to M with -1
+    ws = jnp.sort(jnp.where(valid & (words >= 0), words, W))     # [F]
+    first = jnp.concatenate([jnp.ones(1, bool), ws[1:] != ws[:-1]]) & (ws < W)
+    # rank of each first-occurrence among firsts -> compact to M slots
+    rank = jnp.cumsum(first.astype(jnp.int32)) - 1
+    row_w = jnp.full((M,), -1, jnp.int32).at[
+        jnp.where(first & (rank < M), rank, M)].set(
+            jnp.where(first, ws, -1), mode="drop")
+    row_wt = jnp.where(row_w >= 0, v[jnp.clip(row_w, 0, W - 1)], 0.0)
+    return db._replace(words=db.words.at[kf_slot].set(row_w),
+                       wts=db.wts.at[kf_slot].set(row_wt),
                        active=db.active.at[kf_slot].set(True)), words, v
 
 
 def erase_keyframe(db: KFDatabase, kf_slot):
-    return db._replace(bow=db.bow.at[kf_slot].set(0.0),
-                       presence=db.presence.at[kf_slot].set(False),
+    return db._replace(words=db.words.at[kf_slot].set(-1),
+                       wts=db.wts.at[kf_slot].set(0.0),
                        active=db.active.at[kf_slot].set(False))
+
+
+def _query_dense(query_words, query_valid, query_bow):
+    """Dense [W+1] presence/weight views of the query (one scatter each)."""
+    W = query_bow.shape[0]
+    w_safe = jnp.where(query_valid & (query_words >= 0), query_words, W)
+    q_pres = jnp.zeros((W + 1,), bool).at[w_safe].set(True)
+    q_wt = jnp.concatenate([query_bow, jnp.zeros(1, query_bow.dtype)])
+    return q_pres, q_wt
+
+
+@jax.jit
+def score_and_common(db: KFDatabase, query_words, query_valid, query_bow):
+    """(scores [K], common-word counts [K]) of the query against every row:
+    the reference's inverted-file walk (src/KeyFrameDatabase.cc:84-117)
+    reduced to one gather over the sparse word table."""
+    q_pres, q_wt = _query_dense(query_words, query_valid, query_bow)
+    W = query_bow.shape[0]
+    idx = jnp.where(db.words >= 0, db.words, W)              # [K, M]
+    hit = q_pres[idx]                                        # [K, M]
+    common = jnp.sum(hit, axis=-1).astype(jnp.int32)
+    scores = jnp.sum(jnp.minimum(q_wt[idx], db.wts) * hit, axis=-1)
+    return scores, common
+
+
+def score_kfs(db: KFDatabase, query_bow, rows):
+    """L1 similarity of the query against selected rows [R] (the minScore
+    scan over the query's covisible keyframes, src/LoopClosing.cc:153-173)."""
+    W = query_bow.shape[0]
+    q_wt = jnp.concatenate([query_bow, jnp.zeros(1, query_bow.dtype)])
+    idx = jnp.where(db.words[rows] >= 0, db.words[rows], W)  # [R, M]
+    return jnp.sum(jnp.minimum(q_wt[idx], db.wts[rows])
+                   * (db.words[rows] >= 0), axis=-1)
 
 
 def _grouped_candidates(scores, cand, covis, top_covis: int = 10,
@@ -95,11 +152,10 @@ def detect_candidates(db: KFDatabase, query_words, query_valid, query_bow,
     relocalization).
     Returns (candidate_mask [K], scores [K]).
     """
-    common = bow_mod.common_words(query_words, query_valid, db.presence)
+    scores, common = score_and_common(db, query_words, query_valid, query_bow)
     eligible = db.active & ~exclude & (common > 0)
     max_common = jnp.max(jnp.where(eligible, common, 0))
     min_common = (min_common_rel * max_common).astype(common.dtype)
-    scores = bow_mod.l1_score(query_bow, db.bow)
     cand = eligible & (common > min_common)
     if min_score is not None:
         cand &= scores >= min_score

@@ -88,3 +88,42 @@ def test_fused_trajectory_accuracy(fused_run):
     est, gt = np.stack(est), np.stack(gt)
     res = traj_mod.ate(est, gt, with_scale=False)
     assert res["rmse"] < 0.12, (res, est - gt)
+
+
+N3_FRAMES = 30
+
+
+@pytest.fixture(scope="module")
+def fused_run_3():
+    """Three agents on overlapping thirds of one corridor (the reference
+    exercises -n 2..4, Examples/MultiAgent/generic_split_seq.cc:592-712)."""
+    scene = BoxScene(seed=12, z_far=40.0)
+    q_wc, t_wc = corridor_trajectory(N3_FRAMES, step=0.15, seed=3)
+    frames = []
+    for i in range(N3_FRAMES):
+        left, right, _ = scene.render_stereo(CAM, q_wc[i], t_wc[i])
+        frames.append(frame_mod.extract_frame(
+            jnp.asarray(left), CFG, right_img=jnp.asarray(right)))
+
+    descs = np.concatenate(
+        [np.asarray(frames[i].desc)[np.asarray(frames[i].valid)]
+         for i in (0, N3_FRAMES // 2, N3_FRAMES - 1)])
+    vocab = bow_mod.train_vocabulary(descs, k=8, depth=3, seed=6)
+
+    server = MultiAgentServer(CFG, vocab, run_gba=True)
+    trackers = [server.register_client(a) for a in range(3)]
+    windows = [(0, 14), (10, 24), (20, 30)]   # 4-frame overlaps
+    for i in range(N3_FRAMES):
+        for a, (lo, hi) in enumerate(windows):
+            if lo <= i < hi:
+                trackers[a].track_features(frames[i], frame_id=i - lo)
+        server.process_new_keyframes()
+    return server, windows, (q_wc, t_wc)
+
+
+def test_three_agents_fuse_to_one_map(fused_run_3):
+    server, windows, _ = fused_run_3
+    assert server.multimap.n_maps == 1, \
+        f"maps not fused: {server.multimap.map_of_agent}, " \
+        f"stats={[(s['cur_map'], s['dst_map']) for s in server.stats]}"
+    assert len(server.stats) >= 2    # two fusion events collapse 3 maps

@@ -98,8 +98,9 @@ def loop_extract_stereo(img, img2):
 def loop_track(q0, t0):
     def body(i, carry):
         acc, q, t = carry
-        out, _, dec = steps.track_frame_step(
-            state, feats, prev_feats, prev_mp, ref_kf, q, t, True, cfg)
+        out, _, dec, _aux = steps.track_frame_step(
+            state, feats, prev_feats, prev_mp, ref_kf, q, t,
+            jnp.array([1.0, 0, 0, 0]), jnp.zeros(3), False, True, cfg)
         return (acc + dec[1].astype(jnp.float32) * 1e-30, out.q, out.t)
     return jax.lax.fori_loop(0, N, body, (jnp.asarray(0.0), q0, t0))
 
