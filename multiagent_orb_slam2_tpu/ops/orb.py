@@ -186,10 +186,16 @@ def detect_level(img, budget: int, cfg: OrbConfig, border: int):
                                    "SAME")
     is_max = valid_px & (neg >= pooled)
 
-    # global candidate pool (bounded): top-M by raw score
+    # global candidate pool (bounded): top-M by raw score. approx_max_k is
+    # the TPU-native selection (binned partial reduction) — exact top_k
+    # lowers to a full sort of the H*W score map, one multi-ms `while`
+    # loop PER LEVEL (the dominant tracking cost in the r4 device trace,
+    # tools/PROFILE_FINDINGS.md). NMS already thinned the map, so the
+    # approximate selection loses almost nothing at recall_target=0.95.
     m = min(max(4 * budget, 256), h * w)
     flat_score = jnp.where(is_max, score, -jnp.inf).reshape(-1)
-    cand_score, cand_idx = jax.lax.top_k(flat_score, m)
+    cand_score, cand_idx = jax.lax.approx_max_k(flat_score, m,
+                                                recall_target=0.95)
     cand_valid = jnp.isfinite(cand_score)
     cand_cid = cid.reshape(-1)[cand_idx]
 

@@ -643,7 +643,16 @@ class Tracker:
         st = mapping.rebuild_observations(st)
         st = steps.recompute_covisibility(st)
         sh.state = st
-        self.state = TrackerState.NOT_INITIALIZED
+        # pre-reset frame records are unrecoverable: their reference
+        # keyframes were just invalidated, so export would fall back to raw
+        # track-time poses in the DISCARDED map's local frame — mixed into
+        # the post-reset (and later Sim3-fused) frame they corrupt the
+        # whole trajectory evaluation (measured: split agent0 ATE 2.1 m
+        # from exactly this). The reference clears its per-frame lists on
+        # reset (src/Tracking.cc:1522-1572), i.e. those frames simply drop
+        # out of the export; marking them lost is the same semantics.
+        for rec in self.trajectory:
+            rec.lost = True
         self.last_q = None
         self.last_t = None
         self.last_feats = None
