@@ -82,10 +82,17 @@ def erase_keyframe(db: KFDatabase, kf_slot):
 
 
 def _query_dense(query_words, query_valid, query_bow):
-    """Dense [W+1] presence/weight views of the query (one scatter each)."""
+    """Dense [W+1] presence/weight views of the query (one scatter each).
+
+    Slot W is the shared sentinel for BOTH invalid query features and db-row
+    padding; it must stay False/0 — an earlier version scattered the invalid
+    features' True into it, which made every padded db entry count as a
+    common word (~460 phantom common words per query at F=1024/M~560,
+    silently disabling the 0.8*max common-word gate and flooding loop and
+    fusion detection with candidates)."""
     W = query_bow.shape[0]
     w_safe = jnp.where(query_valid & (query_words >= 0), query_words, W)
-    q_pres = jnp.zeros((W + 1,), bool).at[w_safe].set(True)
+    q_pres = jnp.zeros((W + 1,), bool).at[w_safe].set(True).at[W].set(False)
     q_wt = jnp.concatenate([query_bow, jnp.zeros(1, query_bow.dtype)])
     return q_pres, q_wt
 
