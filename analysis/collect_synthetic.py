@@ -49,9 +49,9 @@ def run_trial(trial: int, work: str, frames: int, vocab_path: str):
 
     out_split = os.path.join(work, f"split{trial}")
     t0 = time.perf_counter()
-    generic_split_seq.main(["-t", "stereo_synth", "-n", "2", "-d", seq_dir,
-                            "-s", settings, "-v", vocab_path,
-                            "-o", out_split])
+    split_meta = generic_split_seq.main(
+        ["-t", "stereo_synth", "-n", "2", "-d", seq_dir,
+         "-s", settings, "-v", vocab_path, "-o", out_split])
     t_split = time.perf_counter() - t0
 
     rows = {}
@@ -61,8 +61,11 @@ def run_trial(trial: int, work: str, frames: int, vocab_path: str):
     for a in range(2):
         rows[f"agent{a}"] = genstats.evaluate(
             gt, os.path.join(out_split, f"SLAM{a}.txt"))
-    print(f"trial {trial}: single {t_single:.0f}s, split {t_split:.0f}s",
-          flush=True)
+    rows["_meta"] = (f"maps={split_meta['final_maps']} "
+                     f"fusions={split_meta['fusions']} "
+                     f"relocs={split_meta['relocalizations']}")
+    print(f"trial {trial}: single {t_single:.0f}s, split {t_split:.0f}s "
+          f"{rows['_meta']}", flush=True)
     return rows
 
 
@@ -84,19 +87,28 @@ def main(argv=None):
     all_rows = []
     for trial in range(args.trials):
         all_rows.append(run_trial(trial, args.work, args.frames, vocab_path))
+        # rewrite the table after EVERY trial so an interrupted run still
+        # leaves a complete partial artifact
+        write_table(args.out, all_rows, args.trials)
+    print(f"wrote {args.out}")
+    with open(args.out) as f:
+        print(f.read())
 
+
+def write_table(out_path, all_rows, n_trials):
     def agg(key, field):
         vals = [t[key][field] for t in all_rows
                 if t.get(key) is not None]
         return (np.mean(vals), np.std(vals)) if vals else (float("nan"), 0)
 
-    with open(args.out, "w") as f:
-        f.write("# 5-trial accuracy at reference scale "
+    with open(out_path, "w") as f:
+        f.write("# accuracy at reference scale "
                 "(synthetic loop-closure corridor, ~660 frames/trial;\n"
                 "# exact ground truth; ATE/RPE-t in m, RPE-r in deg; "
                 "MA = 2-agent split via MultiAgentServer,\n"
                 "# OS2-equivalent = single-agent run; protocol mirrors "
-                "Analysis/*/stats_split_seq.txt)\n")
+                "Analysis/*/stats_split_seq.txt)\n"
+                f"# trials completed: {len(all_rows)}/{n_trials}\n")
         f.write(f"{'run':<10} {'ATE':>8} {'+-':>7} {'RPE-t':>8} {'+-':>7} "
                 f"{'RPE-r':>8} {'+-':>7}\n")
         for key in ("single", "agent0", "agent1"):
@@ -105,15 +117,13 @@ def main(argv=None):
             rm, rs_ = agg(key, "rpe_r")
             f.write(f"{key:<10} {am:>8.3f} {as_:>7.3f} {tm:>8.3f} "
                     f"{ts_:>7.3f} {rm:>8.2f} {rs_:>7.2f}\n")
-        f.write("\n# per-trial ATE\n")
+        f.write("\n# per-trial ATE (and split-run fusion outcome)\n")
         for i, t in enumerate(all_rows):
             vals = " ".join(
                 f"{k}={t[k]['ate']:.3f}" if t.get(k) else f"{k}=nan"
                 for k in ("single", "agent0", "agent1"))
-            f.write(f"trial{i}: {vals}\n")
-    print(f"wrote {args.out}")
-    with open(args.out) as f:
-        print(f.read())
+            extra = t.get("_meta", "")
+            f.write(f"trial{i}: {vals} {extra}\n")
 
 
 if __name__ == "__main__":

@@ -79,6 +79,8 @@ def main(argv=None):
     n_maps = server.multimap.n_maps
     print(f"agents: {args.agents}, final maps: {n_maps}, "
           f"fusions: {len(server.stats)}")
+    return {"final_maps": n_maps, "fusions": len(server.stats),
+            "relocalizations": server.n_relocalizations}
 
 
 if __name__ == "__main__":
