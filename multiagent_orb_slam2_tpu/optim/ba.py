@@ -709,19 +709,31 @@ def _build_and_solve_mk(prob, mpre, q, t, pw, cam, lam, delta2_m, delta2_s,
         delta2_m, delta2_s, use_huber)
 
     # --- banded assembly, unrolled over chunks (static slices) -----------
+    # Explicit DEFAULT (bf16-input MXU, f32 accumulation) on the Schur
+    # cross-term products: the engine-wide float32 default
+    # (package __init__) protects the GEOMETRY pipeline, but the U/V/S/h
+    # matmuls only build the LM model Hessian — bf16 rounding there
+    # perturbs the quadratic model, not the optimum, and the 3-pass f32
+    # emulation would triple the dominant assembly cost. The RHS products
+    # (bt/Ybp placements) carry the actual gradient and stay exact — their
+    # FLOP count is negligible.
+    lo = jax.lax.Precision.DEFAULT
     S_ls, h_ls, b_ls, r_ls = [], [], [], []
     dn_uv = (((1,), (0,)), ((2,), (1,)))     # contract M, batch cp
     dn_dg = (((1, 2), (0, 1)), ((), ()))     # contract (M, cp)
     for c in range(n_chunks):
         sl = slice(c * cp, (c + 1) * cp)
         Of = Of_all[c]                                   # [M, cp, R]
-        U = jax.lax.dot_general(Y[:, :, sl], Of, dn_uv)  # [cp, 18, R]
-        V = jax.lax.dot_general(Wb[:, :, sl], Of, dn_uv)
+        U = jax.lax.dot_general(Y[:, :, sl], Of, dn_uv,
+                                precision=lo)            # [cp, 18, R]
+        V = jax.lax.dot_general(Wb[:, :, sl], Of, dn_uv, precision=lo)
         U2 = U.reshape(cp * 3, 6 * R)   # rows (p,c), cols (a,rel)
         V2 = V.reshape(cp * 3, 6 * R)
         S_ls.append(jax.lax.dot_general(
-            U2, V2, (((0,), (0,)), ((), ()))))           # [(a,rel),(a,rel)]
-        h_ls.append(jax.lax.dot_general(Ht[:, :, sl], Of, dn_dg))  # [36, R]
+            U2, V2, (((0,), (0,)), ((), ())),
+            precision=lo))                               # [(a,rel),(a,rel)]
+        h_ls.append(jax.lax.dot_general(Ht[:, :, sl], Of, dn_dg,
+                                        precision=lo))   # [36, R]
         b_ls.append(jax.lax.dot_general(bt[:, :, sl], Of, dn_dg))
         r_ls.append(jax.lax.dot_general(Ybp[:, :, sl], Of, dn_dg))
 
@@ -753,14 +765,16 @@ def _build_and_solve_mk(prob, mpre, q, t, pw, cam, lam, delta2_m, delta2_s,
     ov_ok = ov_idx < P
     kf_ov = jnp.where(ov_ok[None, :], kf_m[:, ovc], K)   # [M, OC]
     Of_ov = jax.nn.one_hot(kf_ov, KK, dtype=jnp.float32)  # [M, OC, KK]
-    U_ov = jax.lax.dot_general(Y[:, :, ovc], Of_ov, dn_uv)   # [OC, 18, KK]
-    V_ov = jax.lax.dot_general(Wb[:, :, ovc], Of_ov, dn_uv)
+    U_ov = jax.lax.dot_general(Y[:, :, ovc], Of_ov, dn_uv,
+                               precision=lo)             # [OC, 18, KK]
+    V_ov = jax.lax.dot_general(Wb[:, :, ovc], Of_ov, dn_uv, precision=lo)
     S_ov = jax.lax.dot_general(
         U_ov.reshape(OC * 3, 6 * KK), V_ov.reshape(OC * 3, 6 * KK),
-        (((0,), (0,)), ((), ())))                        # (a,k)-major
+        (((0,), (0,)), ((), ())), precision=lo)          # (a,k)-major
     S_flat = S_flat + S_ov.reshape(6, KK, 6, KK).transpose(
         1, 0, 3, 2).reshape(6 * KK, 6 * KK)
-    Hcc_f = Hcc_f + jax.lax.dot_general(Ht[:, :, ovc], Of_ov, dn_dg)
+    Hcc_f = Hcc_f + jax.lax.dot_general(Ht[:, :, ovc], Of_ov, dn_dg,
+                                        precision=lo)
     bc_f = bc_f + jax.lax.dot_general(bt[:, :, ovc], Of_ov, dn_dg)
     rhs_p = rhs_p + jax.lax.dot_general(Ybp[:, :, ovc], Of_ov, dn_dg)
 
