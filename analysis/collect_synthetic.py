@@ -29,6 +29,13 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np  # noqa: E402
 
 
+def _fresh(out_file: str, gt: str) -> bool:
+    """An output is reusable iff it is newer than the sequence it was run
+    on (stale pre-regeneration outputs must NOT short-circuit a trial)."""
+    return (os.path.exists(out_file)
+            and os.path.getmtime(out_file) > os.path.getmtime(gt))
+
+
 def run_trial(trial: int, work: str, frames: int, vocab_path: str):
     import genstats
     from multiagent_orb_slam2_tpu.drivers import generic_split_seq, run_single
@@ -43,15 +50,26 @@ def run_trial(trial: int, work: str, frames: int, vocab_path: str):
 
     out_single = os.path.join(work, f"single{trial}")
     t0 = time.perf_counter()
-    run_single.main(["-t", "stereo_synth", "-d", seq_dir, "-s", settings,
-                     "-v", vocab_path, "-o", out_single])
+    if not _fresh(os.path.join(out_single, "CameraTrajectory.txt"), gt):
+        run_single.main(["-t", "stereo_synth", "-d", seq_dir, "-s", settings,
+                         "-v", vocab_path, "-o", out_single])
     t_single = time.perf_counter() - t0
 
     out_split = os.path.join(work, f"split{trial}")
     t0 = time.perf_counter()
-    split_meta = generic_split_seq.main(
-        ["-t", "stereo_synth", "-n", "2", "-d", seq_dir,
-         "-s", settings, "-v", vocab_path, "-o", out_split])
+    if _fresh(os.path.join(out_split, "SLAM0.txt"), gt):
+        # resumed: fusion count recoverable from stats.csv, maps unknown
+        stats_f = os.path.join(out_split, "stats.csv")
+        n_fus = 0
+        if os.path.exists(stats_f):
+            with open(stats_f) as f:
+                n_fus = max(len(f.readlines()) - 1, 0)
+        split_meta = {"final_maps": -1, "fusions": n_fus,
+                      "relocalizations": -1}
+    else:
+        split_meta = generic_split_seq.main(
+            ["-t", "stereo_synth", "-n", "2", "-d", seq_dir,
+             "-s", settings, "-v", vocab_path, "-o", out_split])
     t_split = time.perf_counter() - t0
 
     rows = {}
