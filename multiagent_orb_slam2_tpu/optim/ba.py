@@ -644,15 +644,20 @@ def _prepare_m(prob: BAProblem):
 
 
 def _band_onehot_m(kf_m, base_c, inb_c, R: int, K: int):
-    """m-major variant of _band_onehot: [n_chunks, M, cp, R]."""
+    """m-major variant of _band_onehot: [n_chunks, M, cp, R].
+
+    bf16 storage: the one-hot is exact in bf16 (0/1), every consumer is a
+    DEFAULT-precision MXU product anyway, and the [nc, M, cp, R] buffer is
+    the solve's single biggest HBM write (~268 MB at bench scale in f32 —
+    once per solve, ~half the non-loop overhead)."""
     M, P = kf_m.shape
     n_chunks = inb_c.shape[0]
     cp = P // n_chunks
     kf_c = kf_m.reshape(M, n_chunks, cp).transpose(1, 0, 2)  # [nc, M, cp]
     okp = inb_c[:, None, :] & (kf_c < K)
     rel = jnp.clip(kf_c - base_c[:, None, None], 0, R - 1)
-    return jax.nn.one_hot(rel, R, dtype=jnp.float32) \
-        * okp[..., None].astype(jnp.float32)
+    return jax.nn.one_hot(rel, R, dtype=jnp.bfloat16) \
+        * okp[..., None].astype(jnp.bfloat16)
 
 
 def _pcg_solver():
@@ -721,21 +726,26 @@ def _build_and_solve_mk(prob, mpre, q, t, pw, cam, lam, delta2_m, delta2_s,
     S_ls, h_ls, b_ls, r_ls = [], [], [], []
     dn_uv = (((1,), (0,)), ((2,), (1,)))     # contract M, batch cp
     dn_dg = (((1, 2), (0, 1)), ((), ()))     # contract (M, cp)
+    bh = jnp.bfloat16
     for c in range(n_chunks):
         sl = slice(c * cp, (c + 1) * cp)
-        Of = Of_all[c]                                   # [M, cp, R]
-        U = jax.lax.dot_general(Y[:, :, sl], Of, dn_uv,
+        Of = Of_all[c]                                   # [M, cp, R] bf16
+        U = jax.lax.dot_general(Y[:, :, sl].astype(bh), Of, dn_uv,
                                 precision=lo)            # [cp, 18, R]
-        V = jax.lax.dot_general(Wb[:, :, sl], Of, dn_uv, precision=lo)
+        V = jax.lax.dot_general(Wb[:, :, sl].astype(bh), Of, dn_uv,
+                                precision=lo)
         U2 = U.reshape(cp * 3, 6 * R)   # rows (p,c), cols (a,rel)
         V2 = V.reshape(cp * 3, 6 * R)
         S_ls.append(jax.lax.dot_general(
-            U2, V2, (((0,), (0,)), ((), ())),
-            precision=lo))                               # [(a,rel),(a,rel)]
-        h_ls.append(jax.lax.dot_general(Ht[:, :, sl], Of, dn_dg,
-                                        precision=lo))   # [36, R]
-        b_ls.append(jax.lax.dot_general(bt[:, :, sl], Of, dn_dg))
-        r_ls.append(jax.lax.dot_general(Ybp[:, :, sl], Of, dn_dg))
+            U2, V2, (((0,), (0,)), ((), ())), precision=lo,
+            preferred_element_type=jnp.float32))         # [(a,rel),(a,rel)]
+        h_ls.append(jax.lax.dot_general(
+            Ht[:, :, sl].astype(bh), Of, dn_dg, precision=lo,
+            preferred_element_type=jnp.float32))         # [36, R]
+        # rhs placements stay exact (f32): they carry the gradient
+        Of32 = Of.astype(jnp.float32)
+        b_ls.append(jax.lax.dot_general(bt[:, :, sl], Of32, dn_dg))
+        r_ls.append(jax.lax.dot_general(Ybp[:, :, sl], Of32, dn_dg))
 
     Obid = jax.nn.one_hot(bid_c, NB, dtype=jnp.float32).T        # [NB, nc]
     S_b = jax.lax.dot_general(

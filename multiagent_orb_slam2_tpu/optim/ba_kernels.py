@@ -299,11 +299,22 @@ def pcg_solve_pallas(S_dense, rhs_flat, block_diag_inv, n_iters: int = 48,
         S = S_ref[:]                       # [D, D] (symmetric)
         Pm = P_ref[:]                      # [D, D] (symmetric blocks)
 
+        # explicit single-pass MXU precision: the engine-wide float32
+        # matmul default (package __init__) would otherwise make Mosaic
+        # emulate these dots in multiple passes — slower AND ~2 MB more
+        # kernel stack, which overflowed the scoped-VMEM budget at D=1536.
+        # CG tolerates the bf16 operand rounding (the preconditioned
+        # residual recurrences stay f32; measured convergence parity in
+        # tests/test_ba_fast.py).
+        lo = jax.lax.Precision.DEFAULT
+
         def precond(r):                    # r [1, D]
-            return jnp.dot(r, Pm, preferred_element_type=jnp.float32)
+            return jnp.dot(r, Pm, preferred_element_type=jnp.float32,
+                           precision=lo)
 
         def matvec(p):
-            return jnp.dot(p, S, preferred_element_type=jnp.float32)
+            return jnp.dot(p, S, preferred_element_type=jnp.float32,
+                           precision=lo)
 
         r0 = rhs_ref[:]
         z0 = precond(r0)

