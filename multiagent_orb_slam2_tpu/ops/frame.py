@@ -59,17 +59,17 @@ def sad_subpixel_refine(left_img, right_img, xy_l, x_r, valid,
     """
     w = win
     patch_l = orb.extract_patches(left_img, jnp.round(xy_l).astype(jnp.int32), w)
-    # right patches at all search offsets: [N, S, P, P]
-    # (python range, not jnp.arange: the offsets are static and this
-    # function must be traceable under an outer jit)
-    offs = range(-search, search + 1)
-
-    def patches_at(dx):
-        xy_r = jnp.stack([jnp.round(x_r).astype(jnp.int32) + dx,
-                          jnp.round(xy_l[:, 1]).astype(jnp.int32)], axis=-1)
-        return orb.extract_patches(right_img, xy_r, w)
-
-    pr = jnp.stack([patches_at(int(d)) for d in offs], axis=1)
+    # right patches at all search offsets: gather ONE [N, P, P + 2*search]
+    # strip per match and take the 2*search+1 windows as static slices of
+    # it — the per-offset form was 11 separate full-image gathers,
+    # ~1.8 ms each on TPU (r5 device trace). Identical values whenever the
+    # offset windows stay in-bounds, which the keypoint border margin
+    # (EDGE_THRESHOLD 19 px > win + search) guarantees.
+    xy_c = jnp.stack([jnp.round(x_r).astype(jnp.int32),
+                      jnp.round(xy_l[:, 1]).astype(jnp.int32)], axis=-1)
+    strip = orb.extract_patches_rect(right_img, xy_c, w, w + search)
+    pr = jnp.stack([strip[:, :, d:d + 2 * w + 1]
+                    for d in range(2 * search + 1)], axis=1)
     sad = jnp.sum(jnp.abs(pr - patch_l[:, None]), axis=(-2, -1))  # [N, S]
     best = jnp.argmin(sad, axis=-1)
     ctr = jnp.clip(best, 1, 2 * search - 1)

@@ -168,16 +168,21 @@ def detect_level(img, budget: int, cfg: OrbConfig, border: int):
 
     cell = cfg.cell_size
     cid = _cell_ids(h, w, cell)
-    n_cells = int(-(-h // cell) * (-(-w // cell)))
 
     # per-cell dual threshold: use ini_th where the cell has any ini-strength
-    # corner, else fall back to min_th
+    # corner, else fall back to min_th. Cells are a REGULAR grid, so the
+    # per-cell reduction is a block reduce (pad + reshape + any) and the
+    # per-pixel broadcast-back is a reshape — the earlier
+    # segment_max/gather pair lowered to a scatter-max plus a full-image
+    # gather, ~2-4 ms per level per image on TPU (r5 device trace).
     strong = (score > cfg.ini_th_fast) & inb
-    cell_has_strong = jax.ops.segment_max(
-        strong.reshape(-1).astype(jnp.int32), cid.reshape(-1),
-        num_segments=n_cells)
-    th_map = jnp.where(cell_has_strong[cid] > 0, float(cfg.ini_th_fast),
-                       float(cfg.min_th_fast))
+    hc, wc = -(-h // cell), -(-w // cell)
+    sp = jnp.pad(strong, ((0, hc * cell - h), (0, wc * cell - w)))
+    blk = jnp.any(sp.reshape(hc, cell, wc, cell), axis=(1, 3))  # [hc, wc]
+    blk_th = jnp.where(blk, float(cfg.ini_th_fast), float(cfg.min_th_fast))
+    th_map = jnp.broadcast_to(
+        blk_th[:, None, :, None], (hc, cell, wc, cell)
+    ).reshape(hc * cell, wc * cell)[:h, :w]
     valid_px = (score > th_map) & inb
 
     # 3x3 non-max suppression
@@ -224,26 +229,33 @@ def detect_level(img, budget: int, cfg: OrbConfig, border: int):
 # Patch gather + orientation + descriptor
 # ---------------------------------------------------------------------------
 
-def extract_patches(img, xy, radius: int):
-    """Gather (2r+1)^2 patches around integer keypoints. xy: [N, 2] int32.
+def extract_patches_rect(img, xy, ry: int, rx: int):
+    """Gather (2*ry+1) x (2*rx+1) patches around integer keypoints.
+    xy: [N, 2] int32 (x, y) centers.
 
     One flat gather instead of a vmapped dynamic_slice: per-keypoint
     dynamic slices lower to N serialized update-slice ops on TPU
     (~2 ms per 2048 keypoints EACH, x8 pyramid levels — measured in
     tools/PROFILE_FINDINGS.md 'tracking attribution')."""
-    r = radius
-    pad = jnp.pad(img, r, mode="edge")
+    pad = jnp.pad(img, ((ry, ry), (rx, rx)), mode="edge")
     w = pad.shape[1]
-    offs = jnp.arange(2 * r + 1, dtype=jnp.int32)
     # dynamic_slice semantics clamp the START so the window stays in
     # bounds; clamp identically before the gather
-    y0 = jnp.clip(xy[:, 1], 0, pad.shape[0] - (2 * r + 1))
-    x0 = jnp.clip(xy[:, 0], 0, w - (2 * r + 1))
-    yy = y0[:, None, None] + offs[None, :, None]          # [N, P, 1]
-    xx = x0[:, None, None] + offs[None, None, :]          # [N, 1, P]
-    idx = yy * w + xx                                      # [N, P, P]
+    y0 = jnp.clip(xy[:, 1], 0, pad.shape[0] - (2 * ry + 1))
+    x0 = jnp.clip(xy[:, 0], 0, w - (2 * rx + 1))
+    oy = jnp.arange(2 * ry + 1, dtype=jnp.int32)
+    ox = jnp.arange(2 * rx + 1, dtype=jnp.int32)
+    yy = y0[:, None, None] + oy[None, :, None]            # [N, Py, 1]
+    xx = x0[:, None, None] + ox[None, None, :]            # [N, 1, Px]
+    idx = yy * w + xx                                      # [N, Py, Px]
     return jnp.take(pad.reshape(-1), idx.reshape(-1),
                     mode="clip").reshape(idx.shape)
+
+
+def extract_patches(img, xy, radius: int):
+    """Gather (2r+1)^2 square patches around integer keypoints (see
+    extract_patches_rect)."""
+    return extract_patches_rect(img, xy, radius, radius)
 
 
 @functools.lru_cache()
@@ -274,13 +286,14 @@ def _bilinear(patches, yx):
     fy, fx = y - y0, x - x0
     flat = patches.reshape(patches.shape[0], -1)
 
-    def at(yy, xx):
-        return jnp.take_along_axis(flat, yy * p + xx, axis=-1)
-
-    v00 = at(y0, x0)
-    v01 = at(y0, x0 + 1)
-    v10 = at(y0 + 1, x0)
-    v11 = at(y0 + 1, x0 + 1)
+    # one fused gather for all four bilinear corners: four separate
+    # take_along_axis calls cost ~1.1 ms EACH per level per image on TPU
+    # (mostly fixed gather overhead, r5 device trace); concatenating the
+    # index sets makes it one op with identical values
+    base = y0 * p + x0
+    idx4 = jnp.concatenate([base, base + 1, base + p, base + p + 1], axis=-1)
+    v4 = jnp.take_along_axis(flat, idx4, axis=-1)
+    v00, v01, v10, v11 = jnp.split(v4, 4, axis=-1)
     return (v00 * (1 - fy) * (1 - fx) + v01 * (1 - fy) * fx
             + v10 * fy * (1 - fx) + v11 * fy * fx)
 
